@@ -1,0 +1,130 @@
+"""Strided-batched COO SpMM (one shared sparse operand).
+
+TPU-native equivalent of the reference's `batched::strided_coo`
+(`include/sparsify.me/spmm.hxx:140-193`): one COO sparse A broadcast over
+all batches (`cusparseCooSetStridedBatch(matA, num_batches, 0)` — stride 0,
+`spmm.hxx:169`), batched dense B and C. The reference version is WIP and
+does not compile (SURVEY.md C3); the capability carried forward is batched
+COO SpMM with a shared sparse operand, plus the format-conversion-cost
+accounting of the PyTorch cross-check (`profiling/python/gemm_coo_compare.py`).
+
+On TPU, scattered scalar access cannot feed the MXU, so there are two
+execution strategies:
+
+* :func:`spmm_coo` — direct gather/segment-sum formulation (XLA): fine for
+  very high sparsity where nnz is small.
+* :func:`coo_to_ell` + :func:`~.ell.spmm_ell` — convert to Blocked-ELL and
+  run the MXU gather kernel; the conversion cost is measured separately,
+  mirroring the reference cross-check's "include to_sparse() time"
+  methodology (`gemm_coo_compare.py:9-43`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..containers import BlockedEll, Coo
+
+
+def coo_from_dense(w, nnz: Optional[int] = None) -> Coo:
+    """Build a Coo from a concrete (host) dense matrix.
+
+    Not jittable — nnz is data-dependent (fixed at trace time by padding
+    to ``nnz`` with explicit zeros at (0, 0) if requested). Rows are sorted
+    row-major like the reference driver's generator sorts its indices.
+    """
+    wn = np.asarray(w)
+    m, k = wn.shape
+    rows, cols = np.nonzero(wn)
+    vals = wn[rows, cols]
+    if nnz is not None:
+        if nnz < len(vals):
+            raise ValueError(f"nnz {nnz} < actual nonzeros {len(vals)}")
+        pad = nnz - len(vals)
+        rows = np.concatenate([rows, np.zeros(pad, rows.dtype)])
+        cols = np.concatenate([cols, np.zeros(pad, cols.dtype)])
+        vals = np.concatenate([vals, np.zeros(pad, vals.dtype)])
+    return Coo(
+        rows=jnp.asarray(rows, jnp.int32),
+        cols=jnp.asarray(cols, jnp.int32),
+        values=jnp.asarray(vals),
+        shape=(m, k),
+    )
+
+
+def spmm_coo(a: Coo, b: jax.Array, *, out_dtype=None) -> jax.Array:
+    """C[..., m, n] = A @ B[..., k, n] with A shared across batch dims.
+
+    Gather rows of B at A's column coords, scale by A's values, and
+    segment-sum into C's rows. Padded entries (value 0) contribute nothing.
+    """
+    m, _ = a.shape
+    out_dtype = out_dtype or jnp.promote_types(a.dtype, b.dtype)
+
+    def one(bmat):
+        gathered = bmat[a.cols] * a.values[:, None].astype(bmat.dtype)
+        return jax.ops.segment_sum(gathered, a.rows, num_segments=m)
+
+    batch_dims = b.ndim - 2
+    f = one
+    for _ in range(batch_dims):
+        f = jax.vmap(f)
+    return f(b).astype(out_dtype)
+
+
+def coo_to_dense(a: Coo) -> jax.Array:
+    return a.todense()
+
+
+def coo_to_ell(
+    a: Coo, block_size: int, ell_blocks: Optional[int] = None
+) -> BlockedEll:
+    """Convert COO to Blocked-ELL (format-conversion path to the MXU
+    kernel). Host-side — conversion is a data-dependent repacking, exactly
+    the cost the reference cross-check measures.
+
+    ``ell_blocks`` defaults to the max occupied blocks over block-rows.
+    Raises if any block-row needs more than ``ell_blocks`` blocks.
+    """
+    m, k = a.shape
+    bs = block_size
+    if m % bs or k % bs:
+        raise ValueError(f"{a.shape} not divisible by block_size {bs}")
+    mb, kb = m // bs, k // bs
+    rows = np.asarray(a.rows)
+    cols = np.asarray(a.cols)
+    vals = np.asarray(a.values)
+    keep = vals != 0
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+    brow, bcol = rows // bs, cols // bs
+    occupied = [
+        np.unique(bcol[brow == r]) for r in range(mb)
+    ]
+    need = max((len(o) for o in occupied), default=0) or 1
+    if ell_blocks is None:
+        ell_blocks = need
+    elif need > ell_blocks:
+        raise ValueError(f"need {need} blocks/row > ell_blocks {ell_blocks}")
+    values = np.zeros((m, ell_blocks * bs), vals.dtype)
+    col_indices = np.zeros((mb, ell_blocks), np.int32)
+    for r in range(mb):
+        occ = occupied[r]
+        # Pad unoccupied slots with distinct unused columns where possible
+        # (indices must be valid; duplicate zero-blocks are harmless as the
+        # padded values are zero).
+        col_indices[r, : len(occ)] = occ
+        slot_of = {c: j for j, c in enumerate(occ)}
+        sel = brow == r
+        rr, cc, vv = rows[sel], cols[sel], vals[sel]
+        j = np.array([slot_of[c] for c in cc // bs], np.int64)
+        values[rr, j * bs + (cc % bs)] = vv
+    return BlockedEll(
+        values=jnp.asarray(values),
+        col_indices=jnp.asarray(col_indices),
+        shape=(m, k),
+        block_size=bs,
+    )

@@ -1,0 +1,139 @@
+"""Blocked-ELL format: build, densify, and batched SpMM.
+
+TPU-native equivalent of the reference's `ell_t` container + batched
+Blocked-ELL SpMM (`containers/ell.hxx:21-68`, `spmm.hxx:27-138`). Block
+sizes are MXU-scaled (>= 8, default 128) instead of the reference's 2x2:
+on a dense systolic array the only way block sparsity pays is skipping
+whole tiles, so blocks ARE tiles. At 50% block sparsity the kernel does
+half the FLOPs and half the A/B traffic of dense — the TPU analog of the
+compare.csv `spmm` column's win.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..containers import BlockedEll
+from .prune import prune_block_topk
+
+
+def ell_from_dense(
+    w: jax.Array, block_size: int, ell_blocks: int
+) -> BlockedEll:
+    """Prune to top-``ell_blocks`` blocks per block-row and pack.
+
+    The TPU equivalent of constructing an `ell_t` from a pruned weight
+    matrix (driver pattern at `examples/spmm.cu:42-113`): block selection
+    is magnitude-based (Frobenius norm), indices sorted ascending.
+    """
+    pruned, cols = prune_block_topk(w, block_size, ell_blocks)
+    values = ell_pack(pruned, cols, block_size)
+    return BlockedEll(
+        values=values,
+        col_indices=cols,
+        shape=w.shape,
+        block_size=block_size,
+    )
+
+
+def ell_pack(
+    w: jax.Array, col_indices: jax.Array, block_size: int
+) -> jax.Array:
+    """Gather the kept blocks of ``w`` into packed ELL values.
+
+    ``w``: ``(..., m, k)``; ``col_indices``: ``(..., m_blocks, ell)``.
+    Returns ``(..., m, ell*block_size)``.
+    """
+    *lead, m, k = w.shape
+    bs = block_size
+    mb, kb = m // bs, k // bs
+    ell = col_indices.shape[-1]
+    blocks = w.reshape(*lead, mb, bs, kb, bs)
+    idx = col_indices[..., :, None, :, None]  # (..., mb, 1, ell, 1)
+    idx = jnp.broadcast_to(idx, (*lead, mb, bs, ell, bs))
+    packed = jnp.take_along_axis(blocks, idx, axis=-2)
+    return packed.reshape(*lead, m, ell * bs)
+
+
+def ell_to_dense(e: BlockedEll) -> jax.Array:
+    """Scatter packed ELL values back to dense (oracle / debug — the
+    `ell_t::print()` analog, `containers/ell.hxx:52-67`)."""
+    *lead, m, k = e.shape
+    bs = e.block_size
+    mb, kb = m // bs, k // bs
+    ell = e.ell_blocks
+    vals = e.values.reshape(*lead, mb, bs, ell, bs)
+    onehot = (
+        e.col_indices[..., :, None, :, None, None]
+        == jnp.arange(kb, dtype=jnp.int32)[:, None]
+    )  # (..., mb, 1, ell, kb, 1)
+    scattered = jnp.sum(
+        jnp.where(onehot, vals[..., :, :, :, None, :], 0), axis=-3
+    )  # (..., mb, bs, kb, bs)
+    return scattered.reshape(*lead, m, k)
+
+
+def spmm_ell_reference(e: BlockedEll, b: jax.Array, *, out_dtype=None):
+    """Dense-oracle SpMM for tests."""
+    a = ell_to_dense(e)
+    out_dtype = out_dtype or jnp.promote_types(a.dtype, b.dtype)
+    return jnp.matmul(a, b, preferred_element_type=jnp.float32).astype(
+        out_dtype
+    )
+
+
+def spmm_ell(
+    e: BlockedEll,
+    b: jax.Array,
+    *,
+    out_dtype=None,
+    block_n: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Batched Blocked-ELL SpMM: ``ell_to_dense(e) @ b`` with zero blocks
+    skipped on the MXU.
+
+    ``e`` may carry batch dims (the reference's batch of `ell_t`s,
+    `spmm.hxx:31`); ``b (k, n)`` is shared across the batch
+    (`spmm.hxx:67`).
+
+    Dispatch: the Pallas gather kernel needs MXU-scaled blocks
+    (``block_size % 128 == 0`` — Mosaic lane-tiling constraint); smaller
+    blocks fall back to densify+matmul on TPU (correct, no FLOP skip —
+    small blocks cannot pay on a 128x128 systolic array anyway). Off-TPU
+    the interpreted kernel handles any block size.
+    """
+    from .kernels.ell_kernel import ell_spmm_pallas
+    from .kernels.spmm24_kernel import default_interpret
+
+    if interpret is None:
+        interpret = default_interpret()
+    if not interpret and e.block_size % 128 != 0:
+        return spmm_ell_reference(e, b, out_dtype=out_dtype)
+
+    *lead, m, k = e.shape
+    values, cols = e.values, e.col_indices
+    if not lead:
+        values = values[None]
+        cols = cols[None]
+    else:
+        import numpy as np
+
+        bsz = int(np.prod(lead))
+        values = values.reshape(bsz, *values.shape[len(lead):])
+        cols = cols.reshape(bsz, *cols.shape[len(lead):])
+    out = ell_spmm_pallas(
+        values,
+        cols,
+        b,
+        block_size=e.block_size,
+        out_dtype=out_dtype or jnp.promote_types(e.dtype, b.dtype),
+        block_n=block_n,
+        interpret=interpret,
+    )
+    if not lead:
+        return out[0]
+    return out.reshape(*lead, m, out.shape[-1])

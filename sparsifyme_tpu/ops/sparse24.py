@@ -1,0 +1,208 @@
+"""2:4 structured sparsity: compress, decompress, and SpMM entry points.
+
+TPU-native re-implementation of the reference's cusparseLt spmma pipeline
+(`include/sparsify.me/spmma.hxx:21-118` and the vendored API contract
+`examples/libcusparse_lt/include/cusparseLt.h`): the three phases
+prune -> compress -> matmul become :mod:`.prune` ops, :func:`compress_24`,
+and :func:`spmm_24` (a Pallas MXU kernel that expands the compressed
+operand tile-wise in VMEM — Ampere sparse tensor cores do not exist on TPU,
+so the win is halved weight traffic from HBM, not halved FLOPs).
+
+Compressed layout (see :class:`~sparsifyme_tpu.containers.Sparse24`): two
+value planes ``values0/values1 (..., m, k4)`` and a packed ``codes`` uint8
+plane with ``i0*4+i1`` per group. This layout is chosen so the kernel can
+decompress with lane-aligned VPU ops only (``pltpu.repeat`` + compares), no
+gathers, no lane-splitting reshapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..containers import Sparse24
+from .prune import _pad_to_multiple
+
+
+@jax.jit
+def compress_24(w: jax.Array) -> Sparse24:
+    """Compress a (2:4-pruned) matrix into :class:`Sparse24`.
+
+    The compress phase of the pipeline (`cusparseLtSpMMACompress`,
+    `spmma.hxx:100-103`). The two largest-magnitude elements of every
+    contiguous group of 4 along the last axis are kept (ties broken by
+    position, matching :func:`~.prune.prune_nm`); for an input that is
+    already exactly 2:4 this selects precisely the nonzeros.
+    """
+    *lead, m, k = w.shape
+    wp = _pad_to_multiple(w, -1, 4)
+    k4 = wp.shape[-1] // 4
+    groups = wp.reshape(*lead, m, k4, 4)
+    order = jnp.argsort(jnp.abs(groups), axis=-1, stable=True)  # ascending
+    kept = jnp.sort(order[..., 2:], axis=-1)  # (..., m, k4, 2), i0 < i1
+    i0 = kept[..., 0]
+    i1 = kept[..., 1]
+    v0 = jnp.take_along_axis(groups, i0[..., None], axis=-1)[..., 0]
+    v1 = jnp.take_along_axis(groups, i1[..., None], axis=-1)[..., 0]
+    codes = (i0 * 4 + i1).astype(jnp.uint8)
+    return Sparse24(values0=v0, values1=v1, codes=codes, shape=w.shape)
+
+
+@jax.jit
+def decompress_24(s: Sparse24) -> jax.Array:
+    """Expand a :class:`Sparse24` back to dense (the exact inverse of
+    :func:`compress_24` up to the pruned zeros)."""
+    *lead, m, k4 = s.values0.shape
+    codes = s.codes.astype(jnp.int32)
+    i0 = codes >> 2
+    i1 = codes & 3
+    j = jnp.arange(4, dtype=jnp.int32)
+    dense_groups = jnp.where(
+        i0[..., None] == j, s.values0[..., None], jnp.zeros([], s.dtype)
+    ) + jnp.where(
+        i1[..., None] == j, s.values1[..., None], jnp.zeros([], s.dtype)
+    )
+    dense = dense_groups.reshape(*lead, m, 4 * k4)
+    return dense[..., : s.shape[-1]]
+
+
+def spmm_24_reference(s: Sparse24, b: jax.Array, *, out_dtype=None) -> jax.Array:
+    """Dense-oracle SpMM: decompress then matmul (for tests/CPU)."""
+    a = decompress_24(s)
+    out_dtype = out_dtype or jnp.promote_types(a.dtype, b.dtype)
+    return jnp.matmul(
+        a, b, preferred_element_type=jnp.float32
+    ).astype(out_dtype)
+
+
+import collections
+
+_Cfg = collections.namedtuple(
+    "_Cfg", "k_logical out_dtype block_m block_n block_k4 interpret"
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm24_core(cfg: "_Cfg", v0, v1, codes, b):
+    from .kernels.spmm24_kernel import spmm24_pallas
+
+    return spmm24_pallas(
+        v0,
+        v1,
+        codes,
+        b,
+        k_logical=cfg.k_logical,
+        out_dtype=cfg.out_dtype,
+        block_m=cfg.block_m,
+        block_n=cfg.block_n,
+        block_k4=cfg.block_k4,
+        interpret=cfg.interpret,
+    )
+
+
+def _spmm24_fwd(cfg, v0, v1, codes, b):
+    return _spmm24_core(cfg, v0, v1, codes, b), (v0, v1, codes, b)
+
+
+def _spmm24_bwd(cfg, res, g):
+    import numpy as np
+
+    v0, v1, codes, b = res
+    kl = cfg.k_logical
+    g32 = g.astype(jnp.float32)
+    # dense A for db (decompressed once; a fused bwd kernel is a later
+    # optimization — XLA handles these matmuls on the MXU already).
+    s_tmp = Sparse24(v0, v1, codes, shape=(v0.shape[0], kl))
+    a = decompress_24(s_tmp).astype(jnp.float32)
+    db = jnp.matmul(a.T, g32, preferred_element_type=jnp.float32)
+    # dA gathered at the kept positions -> dv0 / dv1.
+    da = jnp.matmul(g32, b.astype(jnp.float32).T)  # [m, k_logical]
+    k4 = v0.shape[-1]
+    da = jnp.pad(da, ((0, 0), (0, 4 * k4 - kl)))
+    da_groups = da.reshape(da.shape[0], k4, 4)
+    ci = codes.astype(jnp.int32)
+    i0 = (ci >> 2)[..., None]
+    i1 = (ci & 3)[..., None]
+    dv0 = jnp.take_along_axis(da_groups, i0, axis=-1)[..., 0]
+    dv1 = jnp.take_along_axis(da_groups, i1, axis=-1)[..., 0]
+    dcodes = np.zeros(codes.shape, dtype=jax.dtypes.float0)
+    return (
+        dv0.astype(v0.dtype),
+        dv1.astype(v1.dtype),
+        dcodes,
+        db.astype(b.dtype),
+    )
+
+
+_spmm24_core.defvjp(_spmm24_fwd, _spmm24_bwd)
+
+
+def spmm_24(
+    s: Sparse24,
+    b: jax.Array,
+    *,
+    out_dtype=None,
+    block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
+    block_k4: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Structured-sparse matmul ``decompress(s) @ b`` on the MXU.
+
+    The matmul phase of the pipeline (`cusparseLtMatmul` on the compressed
+    operand, `spmma.hxx:112-113`), as a Pallas kernel: compressed A tiles
+    (half the HBM bytes of dense) are expanded in VMEM by the VPU and fed
+    to the MXU, overlapped by the pipeline. Batch dims on ``s`` broadcast
+    over a shared ``b`` (the reference's shared-B convention,
+    `spmm.hxx:67`) by stacking along rows. Differentiable w.r.t. both the
+    compressed values and ``b`` (custom VJP).
+
+    Args:
+      s: Sparse24 with logical shape ``(..., m, k)``.
+      b: dense ``(k, n)`` (shared across any batch dims of ``s``).
+    """
+    *lead, m, k = s.shape
+    v0, v1, codes = s.values0, s.values1, s.codes
+    if lead:
+        import numpy as np
+
+        rows = int(np.prod(lead)) * m
+        v0 = v0.reshape(rows, v0.shape[-1])
+        v1 = v1.reshape(rows, v1.shape[-1])
+        codes = codes.reshape(rows, codes.shape[-1])
+    cfg = _Cfg(
+        k_logical=k,
+        out_dtype=out_dtype or jnp.promote_types(s.dtype, b.dtype),
+        block_m=block_m,
+        block_n=block_n,
+        block_k4=block_k4,
+        interpret=interpret,
+    )
+    out = _spmm24_core(cfg, v0, v1, codes, b)
+    if lead:
+        out = out.reshape(*lead, m, out.shape[-1])
+    return out
+
+
+def pack_codes(codes: jax.Array) -> jax.Array:
+    """Pack two uint8 group codes (3 bits used each) per byte: 4 bits/group.
+
+    Storage-density helper (0.125 B per logical element); kernels consume
+    the unpacked form, hot paths unpack once at plan-build time.
+    """
+    *lead, m, k4 = codes.shape
+    cp = _pad_to_multiple(codes, -1, 2)
+    pairs = cp.reshape(*lead, m, -1, 2)
+    return (pairs[..., 0] | (pairs[..., 1] << 4)).astype(jnp.uint8)
+
+
+def unpack_codes(packed: jax.Array, k4: int) -> jax.Array:
+    lo = packed & 0xF
+    hi = (packed >> 4) & 0xF
+    codes = jnp.stack([lo, hi], axis=-1).reshape(
+        *packed.shape[:-1], packed.shape[-1] * 2
+    )
+    return codes[..., :k4].astype(jnp.uint8)

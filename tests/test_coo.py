@@ -1,0 +1,90 @@
+"""COO SpMM tests: shared sparse operand, batched dense B (SURVEY.md C3)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsifyme_tpu.ops.coo import (
+    coo_from_dense,
+    coo_to_ell,
+    spmm_coo,
+)
+from sparsifyme_tpu.ops.ell import ell_to_dense, spmm_ell
+from sparsifyme_tpu.ops.prune import prune_threshold
+
+
+def _sparse(rng, m, k, density=0.1):
+    w = rng.normal(size=(m, k)).astype(np.float32)
+    mask = rng.random((m, k)) < density
+    return w * mask
+
+
+def test_coo_from_dense_roundtrip(rng):
+    w = _sparse(rng, 32, 48)
+    a = coo_from_dense(w)
+    np.testing.assert_array_equal(np.asarray(a.todense()), w)
+
+
+def test_coo_nnz_padding(rng):
+    w = _sparse(rng, 16, 16, density=0.2)
+    actual = int((w != 0).sum())
+    a = coo_from_dense(w, nnz=actual + 7)
+    assert a.nnz == actual + 7
+    np.testing.assert_allclose(np.asarray(a.todense()), w, atol=1e-7)
+
+
+def test_spmm_coo_single(rng):
+    w = _sparse(rng, 32, 64)
+    a = coo_from_dense(w)
+    b = jnp.asarray(rng.normal(size=(64, 24)), jnp.float32)
+    got = spmm_coo(a, b, out_dtype=jnp.float32)
+    want = w.astype(np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_coo_batched_shared_a(rng):
+    # The stride-0 strided-batch semantics (spmm.hxx:169): one A, many B.
+    w = _sparse(rng, 16, 32)
+    a = coo_from_dense(w)
+    b = jnp.asarray(rng.normal(size=(4, 32, 8)), jnp.float32)
+    got = spmm_coo(a, b, out_dtype=jnp.float32)
+    assert got.shape == (4, 16, 8)
+    for i in range(4):
+        want = w.astype(np.float64) @ np.asarray(b[i], np.float64)
+        np.testing.assert_allclose(
+            np.asarray(got[i]), want, rtol=1e-4, atol=1e-4
+        )
+
+
+def test_coo_sparsity_sweep(rng):
+    # The 50-90% sparsity sweep capability (BASELINE configs[2]).
+    for density in (0.5, 0.25, 0.1):
+        w = _sparse(rng, 32, 32, density)
+        a = coo_from_dense(w)
+        b = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+        got = spmm_coo(a, b, out_dtype=jnp.float32)
+        want = w.astype(np.float64) @ np.asarray(b, np.float64)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_coo_to_ell_conversion(rng):
+    w = _sparse(rng, 32, 64, density=0.1)
+    a = coo_from_dense(w)
+    e = coo_to_ell(a, block_size=8)
+    np.testing.assert_allclose(np.asarray(ell_to_dense(e)), w, atol=1e-7)
+    # And the converted matrix multiplies correctly via the ELL path.
+    b = jnp.asarray(rng.normal(size=(64, 16)), jnp.float32)
+    got = spmm_ell(e, b, out_dtype=jnp.float32)
+    want = w.astype(np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_coo_to_ell_threshold_pipeline(rng):
+    # magnitude-threshold prune -> COO -> ELL (BASELINE configs[0] flow).
+    w = jnp.asarray(rng.normal(size=(16, 32)), jnp.float32)
+    pruned, _ = prune_threshold(w, 1.5)
+    a = coo_from_dense(np.asarray(pruned))
+    e = coo_to_ell(a, block_size=8)
+    np.testing.assert_allclose(
+        np.asarray(ell_to_dense(e)), np.asarray(pruned), atol=1e-7
+    )

@@ -1,0 +1,91 @@
+"""Blocked-ELL format + SpMM tests vs dense oracles (SURVEY.md §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsifyme_tpu.containers import BlockedEll
+from sparsifyme_tpu.ops.ell import (
+    ell_from_dense,
+    ell_pack,
+    ell_to_dense,
+    spmm_ell,
+    spmm_ell_reference,
+)
+from sparsifyme_tpu.ops.prune import prune_block_topk
+
+
+def _rand(rng, shape, dtype=jnp.float32):
+    return jnp.asarray(rng.normal(size=shape), dtype)
+
+
+def test_pack_unpack_roundtrip(rng):
+    w = _rand(rng, (32, 64))
+    pruned, cols = prune_block_topk(w, block_size=8, ell_blocks=4)
+    e = ell_from_dense(w, block_size=8, ell_blocks=4)
+    back = ell_to_dense(e)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(pruned))
+
+
+def test_pack_batched(rng):
+    w = _rand(rng, (3, 16, 32))
+    e = ell_from_dense(w, block_size=8, ell_blocks=2)
+    assert e.values.shape == (3, 16, 16)
+    assert e.col_indices.shape == (3, 2, 2)
+    back = ell_to_dense(e)
+    for i in range(3):
+        e1 = ell_from_dense(w[i], block_size=8, ell_blocks=2)
+        np.testing.assert_array_equal(
+            np.asarray(back[i]), np.asarray(ell_to_dense(e1))
+        )
+
+
+def test_half_density_matches_reference_contract(rng):
+    # ell_cols = cols/2: the 50%-sparsity assumption of the reference
+    # driver (examples/spmm.cu:47-48).
+    w = _rand(rng, (64, 64))
+    e = ell_from_dense(w, block_size=8, ell_blocks=4)
+    assert e.nnz == 64 * 32  # half the dense elements stored
+
+
+@pytest.mark.parametrize(
+    "m,k,n,bs,ell",
+    [
+        (16, 32, 16, 8, 2),
+        (32, 64, 48, 8, 4),
+        (64, 128, 100, 16, 4),  # unaligned n
+        (128, 256, 128, 128, 1),  # single MXU-size block
+    ],
+)
+def test_spmm_ell_matches_oracle(rng, m, k, n, bs, ell):
+    w = _rand(rng, (m, k))
+    e = ell_from_dense(w, block_size=bs, ell_blocks=ell)
+    b = _rand(rng, (k, n))
+    got = spmm_ell(e, b, out_dtype=jnp.float32)
+    want = np.asarray(ell_to_dense(e), np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_ell_batched_shared_b(rng):
+    w = _rand(rng, (4, 16, 32))
+    e = ell_from_dense(w, block_size=8, ell_blocks=2)
+    b = _rand(rng, (32, 24))
+    got = spmm_ell(e, b, out_dtype=jnp.float32)
+    assert got.shape == (4, 16, 24)
+    dense = ell_to_dense(e)
+    for i in range(4):
+        want = np.asarray(dense[i], np.float64) @ np.asarray(b, np.float64)
+        np.testing.assert_allclose(
+            np.asarray(got[i]), want, rtol=1e-4, atol=1e-4
+        )
+
+
+def test_spmm_ell_bf16(rng):
+    w = _rand(rng, (32, 64), jnp.bfloat16)
+    e = ell_from_dense(w, block_size=16, ell_blocks=2)
+    b = _rand(rng, (64, 32), jnp.bfloat16)
+    got = spmm_ell(e, b, out_dtype=jnp.float32)
+    want = spmm_ell_reference(e, b, out_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )

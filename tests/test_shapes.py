@@ -1,0 +1,72 @@
+"""Shape dataset tests: the analytic generator must reproduce the
+reference's published dataset structure (SURVEY.md C15/C16)."""
+
+import numpy as np
+import pytest
+
+from sparsifyme_tpu.models.resnet_shapes import (
+    all_model_shapes,
+    benchmark_shapes,
+    resnet_conv_shapes,
+)
+from sparsifyme_tpu.utils.shapes import LayerShape, read_shapes, write_shapes
+
+# Row counts and unique-shape counts of the reference CSVs
+# (datasets/*.csv; SURVEY.md C16).
+EXPECTED = {
+    "resnet18": (17, 8),
+    "resnet34": (33, 8),
+    "resnet50": (49, 17),
+    "resnet101": (100, 17),
+    "resnet152": (151, 17),
+}
+
+
+@pytest.mark.parametrize("name,expect", sorted(EXPECTED.items()))
+def test_row_and_unique_counts(name, expect):
+    shapes = resnet_conv_shapes(name)
+    n_rows, n_unique = expect
+    assert len(shapes) == n_rows
+    assert len(set(shapes)) == n_unique
+
+
+def test_resnet50_first_rows_match_published():
+    # First rows of the reference's shapes.csv / BASELINE.md table.
+    s = benchmark_shapes()
+    assert s[0] == LayerShape(12544, 64, 147, 32)   # conv1 7x7 s2
+    assert s[1] == LayerShape(12544, 64, 64, 32)    # layer1.0 1x1
+    assert s[2] == LayerShape(12544, 64, 576, 32)   # layer1.0 3x3
+    assert s[3] == LayerShape(12544, 256, 64, 32)   # layer1.0 1x1 exp
+    assert s[4] == LayerShape(12544, 64, 256, 32)   # layer1.1 1x1
+
+
+def test_resnet50_value_domains():
+    s = benchmark_shapes()
+    assert set(x.m for x in s) == {12544, 3136, 784, 196}
+    assert all(x.b == 32 for x in s)
+    assert min(x.n for x in s) == 64 and max(x.n for x in s) == 2048
+    assert min(x.k for x in s) == 64 and max(x.k for x in s) == 4608
+
+
+def test_resnet18_tail_rows():
+    s = resnet_conv_shapes("resnet18")
+    assert s[-1] == LayerShape(196, 512, 4608, 32)
+    assert s[-4] == LayerShape(196, 512, 2304, 32)
+
+
+def test_csv_roundtrip(tmp_path):
+    shapes = benchmark_shapes()
+    path = str(tmp_path / "shapes.csv")
+    write_shapes(path, shapes)
+    back = read_shapes(path)
+    assert back == shapes
+
+
+def test_read_shapes_from_text():
+    text = "m,n,k,b\n128,64,256,4\n64,32,128,2\n"
+    got = read_shapes(text)
+    assert got == [LayerShape(128, 64, 256, 4), LayerShape(64, 32, 128, 2)]
+
+
+def test_all_models_present():
+    assert sorted(all_model_shapes()) == sorted(EXPECTED)

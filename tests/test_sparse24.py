@@ -1,0 +1,132 @@
+"""2:4 compress/decompress/SpMM tests.
+
+Covers the pipeline identities from SURVEY.md §4(b):
+  spmm_24(compress(prune(A)), B) == decompress(compress(prune(A))) @ B exactly
+  (structure-faithful) and ~= A @ B within pruning error.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsifyme_tpu.ops.prune import prune_24
+from sparsifyme_tpu.ops.sparse24 import (
+    compress_24,
+    decompress_24,
+    pack_codes,
+    spmm_24,
+    spmm_24_reference,
+    unpack_codes,
+)
+
+
+def _rand(rng, shape, dtype=jnp.float32):
+    return jnp.asarray(rng.normal(size=shape), dtype)
+
+
+def test_compress_decompress_roundtrip(rng):
+    w = _rand(rng, (32, 64))
+    pruned, _ = prune_24(w)
+    s = compress_24(pruned)
+    assert s.values0.shape == (32, 16)
+    assert s.codes.dtype == jnp.uint8
+    back = decompress_24(s)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(pruned))
+
+
+def test_compress_codes_valid(rng):
+    w = _rand(rng, (16, 32))
+    pruned, _ = prune_24(w)
+    s = compress_24(pruned)
+    codes = np.asarray(s.codes)
+    i0, i1 = codes >> 2, codes & 3
+    assert (i0 < i1).all() and (i1 < 4).all()
+
+
+def test_compress_unpadded_k(rng):
+    w = _rand(rng, (8, 10))
+    pruned, _ = prune_24(w)
+    s = compress_24(pruned)
+    back = decompress_24(s)
+    assert back.shape == (8, 10)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(pruned))
+
+
+def test_compress_batched(rng):
+    w = _rand(rng, (3, 8, 16))
+    pruned, _ = prune_24(w)
+    s = compress_24(pruned)
+    back = decompress_24(s)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(pruned))
+
+
+def test_pack_unpack_codes(rng):
+    w = _rand(rng, (8, 64))
+    s = compress_24(prune_24(w)[0])
+    packed = pack_codes(s.codes)
+    assert packed.shape == (8, 8)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_codes(packed, 16)), np.asarray(s.codes)
+    )
+
+
+@pytest.mark.parametrize(
+    "m,k,n",
+    [
+        (32, 64, 32),          # tiny
+        (64, 128, 128),        # aligned
+        (100, 148, 96),        # unaligned everywhere (k % 4 == 0)
+        (256, 512, 256),       # one full tile
+        (196, 2048, 512),      # a real ResNet-50 shape
+    ],
+)
+def test_spmm24_matches_dense_oracle(rng, m, k, n):
+    a = _rand(rng, (m, k))
+    b = _rand(rng, (k, n))
+    pruned, _ = prune_24(a)
+    s = compress_24(pruned)
+    got = spmm_24(s, b, out_dtype=jnp.float32)
+    want = np.asarray(pruned, np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm24_bf16(rng):
+    a = _rand(rng, (64, 256), jnp.bfloat16)
+    b = _rand(rng, (256, 128), jnp.bfloat16)
+    pruned, _ = prune_24(a)
+    s = compress_24(pruned)
+    got = spmm_24(s, b, out_dtype=jnp.float32)
+    want = spmm_24_reference(s, b, out_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_spmm24_batched_shared_b(rng):
+    # The reference's shared-B batched convention (spmm.hxx:67).
+    a = _rand(rng, (4, 32, 64))
+    b = _rand(rng, (64, 48))
+    pruned, _ = prune_24(a)
+    s = compress_24(pruned)
+    got = spmm_24(s, b, out_dtype=jnp.float32)
+    assert got.shape == (4, 32, 48)
+    for i in range(4):
+        want = np.asarray(pruned[i], np.float64) @ np.asarray(b, np.float64)
+        np.testing.assert_allclose(
+            np.asarray(got[i]), want, rtol=1e-4, atol=1e-4
+        )
+
+
+def test_spmm24_grad_flows(rng):
+    # The op composes with JAX autodiff through B (training capability).
+    a = _rand(rng, (16, 32))
+    s = compress_24(prune_24(a)[0])
+
+    def loss(b):
+        return jnp.sum(spmm_24(s, b, out_dtype=jnp.float32) ** 2)
+
+    b = _rand(rng, (32, 16))
+    g = jax.grad(loss)(b)
+    assert g.shape == b.shape
+    assert bool(jnp.any(g != 0))
