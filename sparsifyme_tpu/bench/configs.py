@@ -1,0 +1,227 @@
+"""The five BASELINE.json benchmark configurations, runnable by name.
+
+Each config is a mandated scenario from BASELINE.json `configs[]`:
+
+0. ResNet-18 shapes: magnitude-threshold prune + dense GEMM reference,
+   fp32 on CPU.
+1. 2:4 structured prune + SpMM on ResNet-50 shapes, bf16, single chip
+   (this is also bench.py's headline).
+2. Batched COO SpMM across all ResNet-101 layers in one batched call,
+   50-90% sparsity sweep.
+3. Fused prune->spmma pipeline on ResNet-152 shapes with metadata reuse
+   across batch (the plan-cache analog).
+4. Row-partitioned batched 2:4 SpMM across a mesh with ring halo
+   exchange (scaling-efficiency report at 1 / P chips).
+
+Usage: python -m sparsifyme_tpu.bench.configs <0|1|2|3|4> [--quick]
+Each runner returns (and prints) a dict of summary metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.resnet_shapes import resnet_conv_shapes
+from ..utils.timing import salt_chain, time_chained
+
+
+def _geomean(xs: List[float]) -> float:
+    xs = [x for x in xs if x == x and x > 0]
+    return float(np.exp(np.mean(np.log(xs)))) if xs else float("nan")
+
+
+def config0_threshold_gemm_cpu(quick: bool = False) -> Dict:
+    """ResNet-18: magnitude-threshold prune + dense GEMM, fp32, CPU."""
+    from ..ops.gemm import gemm_f32
+    from ..ops.prune import prune_threshold
+
+    cpu = jax.devices("cpu")[0]
+    shapes = resnet_conv_shapes("resnet18")
+    if quick:
+        shapes = shapes[:4]
+    uniq = sorted(set(shapes))
+    rows = []
+    with jax.default_device(cpu):
+        for s in uniq:
+            key = jax.random.PRNGKey(0)
+            a = jax.random.normal(key, (s.b, s.m, s.k), jnp.float32)
+            bm = jax.random.normal(key, (s.k, s.n), jnp.float32)
+            ap, mask = jax.jit(
+                lambda x: prune_threshold(x, threshold=0.6745)
+            )(a)  # |N(0,1)| median -> ~50% sparsity
+            sparsity = 1.0 - float(jnp.mean(mask))
+
+            def step(st):
+                x, y = st
+                return (x, salt_chain(gemm_f32(x, y), y))
+
+            t = time_chained(step, (ap, bm), iters=4, reps=3)
+            rows.append((s, sparsity, t.ms))
+    return {
+        "config": 0,
+        "layers": len(uniq),
+        "sparsity_mean": float(np.mean([r[1] for r in rows])),
+        "gemm_ms_geomean": _geomean([r[2] for r in rows]),
+    }
+
+
+def config1_spmm24_resnet50(quick: bool = False) -> Dict:
+    """Delegates to the headline harness sweep (bench.py)."""
+    from .harness import run_model_sweep
+
+    _, summary = run_model_sweep(
+        "resnet50",
+        kernels=("gemm", "prune", "spmm24"),
+        max_layers=8 if quick else None,
+        verbose=False,
+    )
+    return {"config": 1, **summary}
+
+
+def config2_coo_resnet101(quick: bool = False) -> Dict:
+    """Batched COO SpMM over ResNet-101 layers, 50-90% sparsity sweep.
+
+    One shared sparse A broadcast over the batch — the stride-0 semantics
+    of `cusparseCooSetStridedBatch` (reference spmm.hxx:169)."""
+    from ..ops.coo import coo_from_dense, spmm_coo
+    from ..ops.prune import prune_threshold
+
+    shapes = sorted(set(resnet_conv_shapes("resnet101")))
+    if quick:
+        shapes = shapes[:3]
+    sweeps = (0.5, 0.7, 0.9)
+    out_rows = []
+    for s in shapes:
+        key = jax.random.PRNGKey(0)
+        a = jax.random.normal(key, (s.m, s.k), jnp.float32)
+        bm = jax.random.normal(key, (s.b, s.k, s.n), jnp.bfloat16)
+        for sp in sweeps:
+            thr = float(np.quantile(np.abs(np.asarray(a)), sp))
+            ap, _ = prune_threshold(a, threshold=thr)
+            nnz = int(s.m * s.k * (1 - sp))
+            coo = jax.jit(lambda x: coo_from_dense(x, nnz=nnz))(ap)
+
+            def step(st):
+                cc, y = st
+                return (cc, salt_chain(spmm_coo(cc, y), y))
+
+            t = time_chained(step, (coo, bm), iters=4, reps=3)
+            out_rows.append((s, sp, t.ms, 2.0 * nnz * s.n * s.b /
+                             (t.ms * 1e9)))
+    return {
+        "config": 2,
+        "points": len(out_rows),
+        "coo_ms_geomean": _geomean([r[2] for r in out_rows]),
+        "coo_effective_tflops_geomean": _geomean([r[3] for r in out_rows]),
+    }
+
+
+def config3_fused_pipeline_resnet152(quick: bool = False) -> Dict:
+    """Fused prune->compress->matmul on ResNet-152 shapes via the plan
+    cache, demonstrating metadata reuse across the batch (configs[3])."""
+    from ..plan import SpmmaConfig, get_plan
+
+    shapes = sorted(set(resnet_conv_shapes("resnet152")))
+    if quick:
+        shapes = shapes[:3]
+    rows = []
+    for s in shapes:
+        key = jax.random.PRNGKey(0)
+        a = jax.random.normal(key, (s.b, s.m, s.k), jnp.bfloat16)
+        bm = jax.random.normal(key, (s.k, s.n), jnp.bfloat16)
+        plan = get_plan(SpmmaConfig(m=s.m, n=s.n, k=s.k, batch=s.b))
+        _, times = plan.timed(a, bm, iters=4, reps=3)
+        rows.append((s, times))
+    return {
+        "config": 3,
+        "layers": len(rows),
+        "prune_ms_geomean": _geomean([r[1]["prune"].ms for r in rows]),
+        "compress_ms_geomean": _geomean(
+            [r[1]["compress"].ms for r in rows]
+        ),
+        "mul_ms_geomean": _geomean([r[1]["mul"].ms for r in rows]),
+    }
+
+
+def config4_row_partitioned_scaling(quick: bool = False) -> Dict:
+    """Row-partitioned batched 2:4 SpMM over a mesh with ring halo
+    exchange; reports scaling efficiency at 1 vs P devices.
+
+    On a single-chip environment this runs on the forced-host CPU mesh —
+    the same code path the driver's dryrun validates; on a pod slice the
+    identical calls scale over real ICI."""
+    import os
+
+    if len(jax.devices()) < 2:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        jax.config.update("jax_platforms", "cpu")
+
+    from jax.sharding import Mesh
+    from ..ops.prune import prune_nm
+    from ..ops.sparse24 import compress_24, spmm_24
+    from ..parallel.spmm_sharded import spmm_24_ring
+
+    P = len(jax.devices())
+    m, n, k = (1024, 512, 1024) if quick else (4096, 1024, 4096)
+    a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32)
+    bm = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32)
+    s = jax.jit(lambda x: compress_24(prune_nm(x, 2, 4)[0]))(a)
+
+    def step1(st):
+        ss, y = st
+        return (ss, salt_chain(spmm_24(ss, y), y))
+
+    t1 = time_chained(step1, (s, bm), iters=4, reps=3)
+
+    mesh = Mesh(np.array(jax.devices()), ("model",))
+    with mesh:
+        ring = jax.jit(lambda ss, y: spmm_24_ring(ss, y, mesh, "model"))
+
+        def stepP(st):
+            ss, y = st
+            return (ss, salt_chain(ring(ss, y), y))
+
+        tP = time_chained(stepP, (s, bm), iters=4, reps=3)
+    eff = t1.ms / (tP.ms * P)
+    return {
+        "config": 4,
+        "devices": P,
+        "single_ms": t1.ms,
+        "ring_ms": tP.ms,
+        "scaling_efficiency": eff,
+        "note": "CPU-mesh emulation unless run on a pod slice",
+    }
+
+
+RUNNERS = {
+    0: config0_threshold_gemm_cpu,
+    1: config1_spmm24_resnet50,
+    2: config2_coo_resnet101,
+    3: config3_fused_pipeline_resnet152,
+    4: config4_row_partitioned_scaling,
+}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("config", type=int, choices=sorted(RUNNERS))
+    p.add_argument("--quick", action="store_true")
+    args = p.parse_args(argv)
+    result = RUNNERS[args.config](quick=args.quick)
+    print(json.dumps(result, default=float), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

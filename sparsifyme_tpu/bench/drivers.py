@@ -1,0 +1,131 @@
+"""Driver entry points for the native CLI binaries (cpp/drivers/).
+
+Each reference example binary prints one elapsed-ms float to stdout
+(`examples/sparsify.cu:54`, `gemm.cu:97`, `spmm.cu:118`,
+`batched_coo.cu:112`); `spmma` prints three labeled phase timings
+(`examples/spmma.cu:61-66`). This module re-implements those contracts on
+the TPU runtime: same argv → same stdout schema, but measured in
+steady state (jit warmup excluded) rather than cold-process.
+
+Also runnable without the native binaries:
+    python -m sparsifyme_tpu.bench.drivers <kernel> m n [k b]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def _time(step, state0, iters=8, reps=3):
+    from ..utils.timing import time_chained
+
+    return time_chained(step, state0, iters=iters, reps=reps).ms
+
+
+def run(kernel: str, m: int, n: int, k: int = 0, b: int = 1) -> None:
+    from ..utils.timing import salt_chain
+
+    key = jax.random.PRNGKey(0)
+
+    if kernel == "sparsify":
+        # Reference: 2x2 blocks @ 50% on an m x n weight matrix
+        # (examples/sparsify.cu:43-46). Our policy is magnitude top-k.
+        from ..ops.prune import prune_block_magnitude
+
+        w = jax.random.normal(key, (m, n), jnp.bfloat16)
+        w0 = jax.jit(
+            lambda x: prune_block_magnitude(x, block=(2, 2), sparsity=0.5)[0]
+        )(w)
+        ms = _time(
+            lambda x: prune_block_magnitude(x, block=(2, 2), sparsity=0.5)[0],
+            w0,
+        )
+        print(f"{ms:.6f}")
+
+    elif kernel == "gemm":
+        from ..ops.gemm import batched_gemm
+
+        a = jax.random.normal(key, (b, m, k), jnp.bfloat16)
+        bm = jax.random.normal(key, (k, n), jnp.bfloat16)
+
+        def step(st):
+            x, y = st
+            c = batched_gemm(x, y, out_dtype=jnp.bfloat16)
+            return (x, salt_chain(c, y))
+
+        print(f"{_time(step, (a, bm)):.6f}")
+
+    elif kernel == "spmm":
+        from ..ops.ell import ell_from_dense, spmm_ell
+
+        bs = 128 if (m % 128 == 0 and k % 128 == 0) else 8
+        a = jax.random.normal(key, (b, m, k), jnp.bfloat16)
+        e = jax.jit(
+            lambda x: ell_from_dense(
+                x, block_size=bs, ell_blocks=max(1, (k // bs) // 2)
+            )
+        )(a)
+        bm = jax.random.normal(key, (k, n), jnp.bfloat16)
+
+        def step(st):
+            ee, y = st
+            c = spmm_ell(ee, y)
+            return (ee, salt_chain(c, y))
+
+        print(f"{_time(step, (e, bm)):.6f}")
+
+    elif kernel == "spmma":
+        # Three labeled phase timings (examples/spmma.cu:61-66).
+        from ..plan import SpmmaConfig, get_plan
+
+        a = jax.random.normal(key, (b, m, k), jnp.bfloat16)
+        bm = jax.random.normal(key, (k, n), jnp.bfloat16)
+        plan = get_plan(SpmmaConfig(m=m, n=n, k=k, batch=b))
+        _, times = plan.timed(a, bm, warmup=2, iters=8, reps=3)
+        print(f"Prune time: {times['prune'].ms:.6f}")
+        print(f"Compress time: {times['compress'].ms:.6f}")
+        print(f"Matmul time: {times['mul'].ms:.6f}")
+
+    elif kernel == "batched_coo":
+        # One shared sparse A broadcast over the batch — the stride-0
+        # semantics of cusparseCooSetStridedBatch (spmm.hxx:169).
+        from ..ops.coo import coo_from_dense, spmm_coo
+        from ..ops.prune import prune_nm
+
+        a = jax.random.normal(key, (m, k), jnp.bfloat16)
+        coo = jax.jit(
+            lambda x: coo_from_dense(prune_nm(x, 2, 4)[0], nnz=m * k // 2)
+        )(a)
+        bm = jax.random.normal(key, (b, k, n), jnp.bfloat16)
+
+        def step(st):
+            cc, y = st
+            c = spmm_coo(cc, y)
+            return (cc, salt_chain(c, y))
+
+        print(f"{_time(step, (coo, bm)):.6f}")
+
+    else:
+        raise SystemExit(f"unknown kernel: {kernel}")
+
+
+def main(argv=None) -> None:
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) not in (3, 5):
+        raise SystemExit(
+            "usage: drivers <kernel> m n [k b]  "
+            "(kernels: sparsify gemm spmm spmma batched_coo)"
+        )
+    kernel = argv[0]
+    nums = [int(x) for x in argv[1:]]
+    if len(nums) == 2:
+        run(kernel, nums[0], nums[1])
+    else:
+        run(kernel, nums[0], nums[1], nums[2], nums[3])
+
+
+if __name__ == "__main__":
+    main()

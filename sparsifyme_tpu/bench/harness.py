@@ -1,0 +1,267 @@
+"""Benchmark harness: sparse-vs-dense sweep over layer-shape datasets.
+
+TPU-native re-implementation of the reference's benchmark layer
+(`examples/profiling.py` + the WIP `profiling/*_timing.cu` intent,
+SURVEY.md C14/C19): sweeps `m,n,k,b` layer shapes, times the dense GEMM
+baseline and every sparse kernel, and emits `compare.csv`-schema rows
+(layer,m,n,k,b,gemm,prune,spmm — `profiling.py:43-44`) extended with the
+spmma phase split (`spmma.hxx:117`), GFLOP/s, and nnz/s columns required
+by BASELINE.json.
+
+Differences from the reference, by design: measurements are in-process
+with jit warmup excluded (the reference timed fresh processes with cold
+caches, `profiling.py:30-41`); shapes are deduplicated before timing and
+results broadcast back to layers (ResNet-50's 49 layers have 17 unique
+shapes — identical shapes get identical timings in steady state).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import math
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.resnet_shapes import resnet_conv_shapes
+from ..ops.ell import ell_from_dense, spmm_ell
+from ..ops.gemm import batched_gemm
+from ..ops.prune import prune_nm
+from ..ops.sparse24 import compress_24, spmm_24
+from ..ops.sparse24 import decompress_24
+from ..utils.shapes import LayerShape
+from ..utils.timing import salt_chain, time_chained
+
+
+@dataclasses.dataclass
+class ShapeResult:
+    layer: int
+    m: int
+    n: int
+    k: int
+    b: int
+    gemm_ms: float = math.nan
+    prune_ms: float = math.nan
+    compress_ms: float = math.nan
+    spmm24_ms: float = math.nan       # 2:4 matmul phase ("mul")
+    ell_ms: float = math.nan          # blocked-ELL SpMM @50% block sparsity
+    # Derived (dense-equivalent FLOPs = 2*m*n*k*b):
+    gemm_tflops: float = math.nan
+    spmm24_tflops: float = math.nan   # effective (dense-equiv) rate
+    ell_tflops: float = math.nan
+    spmm24_speedup: float = math.nan
+    ell_speedup: float = math.nan
+    nnz_per_s: float = math.nan       # 2:4 kernel nonzeros/second
+
+    def row(self) -> List:
+        return [getattr(self, f.name) for f in dataclasses.fields(self)]
+
+
+CSV_COLUMNS = [f.name for f in dataclasses.fields(ShapeResult)]
+
+
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
+def bench_shape(
+    shape: LayerShape,
+    *,
+    dtype=jnp.bfloat16,
+    kernels: Sequence[str] = ("gemm", "prune", "spmm24", "ell"),
+    iters: int = 16,
+    reps: int = 3,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Time the requested kernels for one (m, n, k, b) problem.
+
+    Data layout per the reference drivers: batch of sparse A `(b, m, k)`,
+    one shared dense B `(k, n)` (`gemm.cu:40-41`, `spmm.hxx:67`).
+
+    All measurements use chained on-device loops (`time_chained`): the
+    matmul-like kernels thread a salt scalar from C back into B between
+    iterations; prune self-chains (prune of pruned input is the same
+    work); compress is timed as a compress+decompress round-trip (slight
+    overstatement, noted in the column docs).
+    """
+    m, n, k, b = shape
+    key = jax.random.PRNGKey(seed)
+    ka, kb = jax.random.split(key)
+    a = jax.random.normal(ka, (b, m, k), dtype)
+    bm = jax.random.normal(kb, (k, n), dtype)
+    out: Dict[str, float] = {}
+    flops = 2.0 * m * n * k * b
+
+    # NOTE: every step function threads ALL device arrays through the loop
+    # state — a closure over a large array would be baked into the jitted
+    # executable as a constant (catastrophic with remote compilation).
+    if "gemm" in kernels:
+        def gemm_step(st):
+            x, bmat = st
+            c = batched_gemm(x, bmat, out_dtype=dtype)
+            return (x, salt_chain(c, bmat))
+
+        t = time_chained(gemm_step, (a, bm), iters=iters, reps=reps)
+        out["gemm_ms"] = t.ms
+        out["gemm_tflops"] = flops / (t.ms * 1e9)
+
+    pruned = None
+    if "prune" in kernels or "spmm24" in kernels:
+        fp = jax.jit(lambda x: prune_nm(x, 2, 4)[0])
+        pruned = fp(a)
+        t = time_chained(
+            lambda x: prune_nm(x, 2, 4)[0], pruned, iters=iters, reps=reps
+        )
+        out["prune_ms"] = t.ms
+
+    if "spmm24" in kernels:
+        t = time_chained(
+            lambda x: decompress_24(compress_24(x)),
+            pruned,
+            iters=max(4, iters // 2),
+            reps=reps,
+        )
+        out["compress_ms"] = t.ms
+        s = jax.jit(compress_24)(pruned)
+
+        def spmm_step(st):
+            ss, bmat = st
+            c = spmm_24(ss, bmat, out_dtype=dtype)
+            return (ss, salt_chain(c, bmat))
+
+        t = time_chained(spmm_step, (s, bm), iters=iters, reps=reps)
+        out["spmm24_ms"] = t.ms
+        out["spmm24_tflops"] = flops / (t.ms * 1e9)
+        out["nnz_per_s"] = (b * m * (k // 2)) / (t.ms * 1e-3)
+
+    if "ell" in kernels:
+        bs = 128
+        kp = _round_up(k, 2 * bs)
+        mp = _round_up(m, bs)
+        ell_blocks = max(1, (kp // bs) // 2)  # 50% block sparsity
+        ap = jnp.pad(a, ((0, 0), (0, mp - m), (0, kp - k)))
+        bp = jnp.pad(bm, ((0, kp - k), (0, 0)))
+        e = jax.jit(
+            lambda x: ell_from_dense(x, block_size=bs, ell_blocks=ell_blocks)
+        )(ap)
+
+        def ell_step(st):
+            ee, bmat = st
+            c = spmm_ell(ee, bmat, out_dtype=dtype)
+            return (ee, salt_chain(c, bmat))
+
+        t = time_chained(ell_step, (e, bp), iters=iters, reps=reps)
+        out["ell_ms"] = t.ms
+        out["ell_tflops"] = flops / (t.ms * 1e9)
+
+    if "gemm_ms" in out:
+        if "spmm24_ms" in out:
+            out["spmm24_speedup"] = out["gemm_ms"] / out["spmm24_ms"]
+        if "ell_ms" in out:
+            out["ell_speedup"] = out["gemm_ms"] / out["ell_ms"]
+    return out
+
+
+def sweep(
+    shapes: Iterable[LayerShape],
+    *,
+    dtype=jnp.bfloat16,
+    kernels: Sequence[str] = ("gemm", "prune", "spmm24", "ell"),
+    iters: int = 10,
+    reps: int = 3,
+    verbose: bool = True,
+) -> List[ShapeResult]:
+    """Sweep shapes (deduplicated), returning one result per input layer."""
+    shapes = list(shapes)
+    cache: Dict[LayerShape, Dict[str, float]] = {}
+    results = []
+    for i, sh in enumerate(shapes):
+        if sh not in cache:
+            cache[sh] = bench_shape(
+                sh, dtype=dtype, kernels=kernels, iters=iters, reps=reps
+            )
+            if verbose:
+                r = cache[sh]
+                print(
+                    f"[{len(cache):3d} uniq] m={sh.m:6d} n={sh.n:5d} "
+                    f"k={sh.k:5d} b={sh.b}  "
+                    + " ".join(
+                        f"{kk}={vv:.3f}" for kk, vv in r.items()
+                        if kk.endswith("_ms")
+                    ),
+                    flush=True,
+                )
+        results.append(ShapeResult(layer=i, m=sh.m, n=sh.n, k=sh.k, b=sh.b,
+                                   **cache[sh]))
+    return results
+
+
+def write_csv(path: str, results: Sequence[ShapeResult]) -> None:
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(CSV_COLUMNS)
+        for r in results:
+            w.writerow(r.row())
+
+
+def write_compare_csv(path: str, results: Sequence[ShapeResult]) -> None:
+    """The reference's exact compare.csv schema
+    (layer,m,n,k,b,gemm,prune,spmm — `examples/compare.csv:1`)."""
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["layer", "m", "n", "k", "b", "gemm", "prune", "spmm"])
+        for r in results:
+            w.writerow(
+                [r.layer, r.m, r.n, r.k, r.b, r.gemm_ms, r.prune_ms,
+                 r.spmm24_ms]
+            )
+
+
+def geomean(xs: Sequence[float]) -> float:
+    xs = [x for x in xs if x == x and x > 0]
+    if not xs:
+        return float("nan")
+    return float(np.exp(np.mean(np.log(xs))))
+
+
+def summarize(results: Sequence[ShapeResult]) -> Dict[str, float]:
+    return {
+        "layers": len(results),
+        "gemm_tflops_geomean": geomean([r.gemm_tflops for r in results]),
+        "spmm24_tflops_geomean": geomean([r.spmm24_tflops for r in results]),
+        "ell_tflops_geomean": geomean([r.ell_tflops for r in results]),
+        "spmm24_speedup_geomean": geomean(
+            [r.spmm24_speedup for r in results]
+        ),
+        "ell_speedup_geomean": geomean([r.ell_speedup for r in results]),
+        "nnz_per_s_geomean": geomean([r.nnz_per_s for r in results]),
+    }
+
+
+def run_model_sweep(
+    model: str = "resnet50",
+    *,
+    dtype=jnp.bfloat16,
+    kernels: Sequence[str] = ("gemm", "prune", "spmm24", "ell"),
+    iters: int = 10,
+    reps: int = 3,
+    csv_path: Optional[str] = None,
+    compare_csv_path: Optional[str] = None,
+    max_layers: Optional[int] = None,
+    verbose: bool = True,
+):
+    shapes = resnet_conv_shapes(model)
+    if max_layers:
+        shapes = shapes[:max_layers]
+    results = sweep(
+        shapes, dtype=dtype, kernels=kernels, iters=iters, reps=reps,
+        verbose=verbose,
+    )
+    if csv_path:
+        write_csv(csv_path, results)
+    if compare_csv_path:
+        write_compare_csv(compare_csv_path, results)
+    return results, summarize(results)

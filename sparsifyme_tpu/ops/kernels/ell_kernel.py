@@ -82,25 +82,27 @@ def ell_spmm_pallas(
 
     grid = (batch, mb, np_ // bn, n_ell)
 
+    # The scalar-prefetch operand lives in SMEM, where trailing dims are
+    # tile-padded (..., 8, 128); keep it 1-D so a [batch, mb, ell] index
+    # table costs batch*mb*ell*4 bytes, not batch*pad8(mb)*128*4.
+    def _val_idx(bi, i, j, kk, col):
+        return (bi, i, kk)
+
+    def _b_idx(bi, i, j, kk, col):
+        return (col[(bi * mb + i) * n_ell + kk], j)
+
+    def _out_idx(bi, i, j, kk, col):
+        return (bi, i, j)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (1, bs, bs),
-                lambda bi, i, j, kk, col: (bi, i, kk),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (bs, bn),
-                lambda bi, i, j, kk, col: (col[bi, i, kk], j),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, bs, bs), _val_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, bn), _b_idx, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, bs, bn),
-            lambda bi, i, j, kk, col: (bi, i, j),
-            memory_space=pltpu.VMEM,
+            (1, bs, bn), _out_idx, memory_space=pltpu.VMEM
         ),
         scratch_shapes=[pltpu.VMEM((bs, bn), jnp.float32)],
     )
@@ -128,5 +130,5 @@ def ell_spmm_pallas(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(col_indices.astype(jnp.int32), values, b)
+    )(col_indices.astype(jnp.int32).reshape(-1), values, b)
     return out[..., :n]

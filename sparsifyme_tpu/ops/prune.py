@@ -38,6 +38,24 @@ def _pad_to_multiple(x: jax.Array, axis: int, multiple: int) -> jax.Array:
     return jnp.pad(x, widths)
 
 
+def _keep_topn_mask(a_abs: jax.Array, n: int) -> jax.Array:
+    """Boolean mask keeping the ``n`` largest of the (small) last axis.
+
+    Comparison-based ranking (O(m^2) elementwise compares, fully fused by
+    XLA) instead of argsort — TPU sort lowerings allocate enormous
+    temporaries at batched-conv scale. Total order: magnitude, then
+    position (later positions win ties), matching a stable ascending
+    argsort's rank semantics.
+    """
+    m = a_abs.shape[-1]
+    ai = a_abs[..., :, None]
+    aj = a_abs[..., None, :]
+    pos = jnp.arange(m, dtype=jnp.int32)
+    less = (ai < aj) | ((ai == aj) & (pos[:, None] < pos[None, :]))
+    ranks = jnp.sum(less.astype(jnp.int32), axis=-2)  # rank of each j
+    return ranks >= (m - n)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "sparsity"))
 def prune_block_magnitude(
     w: jax.Array,
@@ -67,11 +85,7 @@ def prune_block_magnitude(
     blocks = w.reshape(*lead, mb, bm, nb, bn)
     blocks = jnp.moveaxis(blocks, -3, -2)  # (..., mb, nb, bm, bn)
     flat = blocks.reshape(*lead, mb, nb, bs)
-    # Rank elements by magnitude (ascending); stable sort keeps the
-    # positional tie-break deterministic.
-    order = jnp.argsort(jnp.abs(flat), axis=-1, stable=True)
-    ranks = jnp.argsort(order, axis=-1, stable=True)
-    keep = ranks >= drop
+    keep = _keep_topn_mask(jnp.abs(flat), bs - drop)
     mask = keep.reshape(*lead, mb, nb, bm, bn)
     mask = jnp.moveaxis(mask, -2, -3).reshape(*lead, m, n)
     mask = mask.astype(w.dtype)
@@ -96,9 +110,7 @@ def prune_nm(w: jax.Array, n: int = 2, m: int = 4) -> Tuple[jax.Array, jax.Array
     wp = _pad_to_multiple(w, -1, m)
     kp = wp.shape[-1]
     groups = wp.reshape(*lead, kp // m, m)
-    order = jnp.argsort(jnp.abs(groups), axis=-1, stable=True)
-    ranks = jnp.argsort(order, axis=-1, stable=True)
-    keep = ranks >= (m - n)
+    keep = _keep_topn_mask(jnp.abs(groups), n)
     mask = keep.reshape(*lead, kp)[..., :k].astype(w.dtype)
     return w * mask, mask
 

@@ -37,18 +37,26 @@ def compress_24(w: jax.Array) -> Sparse24:
     position, matching :func:`~.prune.prune_nm`); for an input that is
     already exactly 2:4 this selects precisely the nonzeros.
     """
+    from .prune import _keep_topn_mask
+
     *lead, m, k = w.shape
     wp = _pad_to_multiple(w, -1, 4)
     k4 = wp.shape[-1] // 4
     groups = wp.reshape(*lead, m, k4, 4)
-    order = jnp.argsort(jnp.abs(groups), axis=-1, stable=True)  # ascending
-    kept = jnp.sort(order[..., 2:], axis=-1)  # (..., m, k4, 2), i0 < i1
-    i0 = kept[..., 0]
-    i1 = kept[..., 1]
-    v0 = jnp.take_along_axis(groups, i0[..., None], axis=-1)[..., 0]
-    v1 = jnp.take_along_axis(groups, i1[..., None], axis=-1)[..., 0]
+    keep = _keep_topn_mask(jnp.abs(groups), 2)  # exactly 2 True per group
+    pos = jnp.arange(4, dtype=jnp.int32)
+    # i0/i1 = smallest/largest kept position (comparison-based; no sorts).
+    i0 = jnp.min(jnp.where(keep, pos, 4), axis=-1)
+    i1 = jnp.max(jnp.where(keep, pos, -1), axis=-1)
+    v0 = jnp.sum(jnp.where(pos == i0[..., None], groups, 0), axis=-1)
+    v1 = jnp.sum(jnp.where(pos == i1[..., None], groups, 0), axis=-1)
     codes = (i0 * 4 + i1).astype(jnp.uint8)
-    return Sparse24(values0=v0, values1=v1, codes=codes, shape=w.shape)
+    return Sparse24(
+        values0=v0.astype(w.dtype),
+        values1=v1.astype(w.dtype),
+        codes=codes,
+        shape=w.shape,
+    )
 
 
 @jax.jit

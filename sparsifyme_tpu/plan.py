@@ -1,0 +1,174 @@
+"""SpMMA plan: the cusparseLt handle/descriptor/plan lifecycle, TPU-native.
+
+The reference programs against cusparseLt's opaque plan machinery
+(`include/sparsify.me/spmma.hxx:51-80`: init handle -> structured/dense
+descriptors -> matmul descriptor -> alg selection -> plan) and then runs
+prune -> compress -> matmul (`spmma.hxx:85-113`), returning the three
+phase timings (`spmma.hxx:117`). The vendored contract is
+`examples/libcusparse_lt/include/cusparseLt.h:104-350`.
+
+On TPU the "plan" is a Python object that pins the problem geometry and
+tile configuration, caches the jitted phase executables (XLA compilation =
+alg selection + workspace planning), and can cache the compressed operand
+for metadata reuse across batches (BASELINE configs[3], the plan-cache
+analog). No opaque handles: plans are ordinary objects, and a module-level
+LRU keyed on (shape, dtype, tiles, mesh) mirrors `cusparseLtInit`'s
+amortization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .containers import Sparse24
+from .ops.prune import prune_check_nm, prune_nm
+from .ops.sparse24 import compress_24, spmm_24
+from .utils.timing import Timing, time_fn
+
+
+@dataclasses.dataclass(frozen=True)
+class SpmmaConfig:
+    """Static problem geometry + kernel tiling (the matmul descriptor +
+    alg-selection analog, `spmma.hxx:67-76`)."""
+
+    m: int
+    n: int
+    k: int
+    batch: int = 1
+    dtype: str = "bfloat16"
+    out_dtype: str = "float32"
+    block_m: Optional[int] = None
+    block_n: Optional[int] = None
+    block_k4: Optional[int] = None
+
+    def key(self) -> Tuple:
+        return dataclasses.astuple(self)
+
+
+class SpmmaPlan:
+    """prune -> compress -> matmul pipeline with cached executables.
+
+    Usage::
+
+        plan = SpmmaPlan(SpmmaConfig(m, n, k, batch=b))
+        pruned = plan.prune(a)          # phase 1  (spmma.hxx:85-88)
+        ok     = plan.prune_check(pruned)  # PruneCheck (spmma.hxx:88-94)
+        s      = plan.compress(pruned)  # phase 2  (spmma.hxx:100-103)
+        c      = plan.matmul(s, b)      # phase 3  (spmma.hxx:112-113)
+
+    or ``plan(a, b)`` for the fused pipeline. ``plan.set_operand(s)``
+    caches the compressed operand so repeated ``plan.matmul_cached(b)``
+    calls reuse metadata across batches (configs[3]).
+    """
+
+    def __init__(self, config: SpmmaConfig):
+        self.config = config
+        cfg = config
+        dtype = jnp.dtype(cfg.dtype)
+        out_dtype = jnp.dtype(cfg.out_dtype)
+        if cfg.k % 8 or cfg.m % 8:
+            # The reference enforces divisibility-by-8 (spmma.hxx:45-49);
+            # we accept any shape (kernels pad) but keep the check
+            # available as a warning channel for peak-path users.
+            self.aligned = False
+        else:
+            self.aligned = True
+        self._prune = jax.jit(lambda a: prune_nm(a, 2, 4)[0])
+        self._prune_check = jax.jit(lambda a: prune_check_nm(a, 2, 4))
+        self._compress = jax.jit(compress_24)
+        self._matmul = jax.jit(
+            functools.partial(
+                spmm_24,
+                out_dtype=out_dtype,
+                block_m=cfg.block_m,
+                block_n=cfg.block_n,
+                block_k4=cfg.block_k4,
+            )
+        )
+        self._fused = jax.jit(
+            lambda a, b: self._matmul(self._compress(self._prune(a)), b)
+        )
+        self._operand: Optional[Sparse24] = None
+
+    # -- phases --------------------------------------------------------
+    def prune(self, a: jax.Array) -> jax.Array:
+        return self._prune(a)
+
+    def prune_check(self, a: jax.Array) -> jax.Array:
+        return self._prune_check(a)
+
+    def compress(self, a: jax.Array) -> Sparse24:
+        return self._compress(a)
+
+    def matmul(self, s: Sparse24, b: jax.Array) -> jax.Array:
+        return self._matmul(s, b)
+
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        return self._fused(a, b)
+
+    # -- operand caching (metadata reuse across batch, configs[3]) ------
+    def set_operand(self, s: Sparse24) -> None:
+        self._operand = s
+
+    def matmul_cached(self, b: jax.Array) -> jax.Array:
+        if self._operand is None:
+            raise ValueError("no cached operand; call set_operand() first")
+        return self._matmul(self._operand, b)
+
+    # -- timed pipeline (the reference's return contract) ---------------
+    def timed(
+        self, a: jax.Array, b: jax.Array, **time_kw
+    ) -> Tuple[jax.Array, Dict[str, Timing]]:
+        """Run all three phases, each separately timed — the
+        `{prune, compress, mul}` triple of `spmma.hxx:117`."""
+        t_prune = time_fn(self._prune, a, **time_kw)
+        pruned = self._prune(a)
+        t_compress = time_fn(self._compress, pruned, **time_kw)
+        s = self._compress(pruned)
+        t_mul = time_fn(self._matmul, s, b, **time_kw)
+        out = self._matmul(s, b)
+        return out, {"prune": t_prune, "compress": t_compress, "mul": t_mul}
+
+
+@functools.lru_cache(maxsize=256)
+def _plan_cache(key: Tuple) -> SpmmaPlan:
+    return SpmmaPlan(SpmmaConfig(*key))
+
+
+def get_plan(config: SpmmaConfig) -> SpmmaPlan:
+    """Module-level plan cache (the `cusparseLtInit` amortization analog).
+    Keyed on the full static config."""
+    return _plan_cache(config.key())
+
+
+def spmma(
+    a: jax.Array,
+    b: jax.Array,
+    *,
+    out_dtype=jnp.float32,
+    timed: bool = False,
+):
+    """One-shot prune -> compress -> matmul (the reference's `spmma()`
+    free function, `spmma.hxx:21-118`).
+
+    With ``timed=True`` returns ``(C, {prune, compress, mul})`` timings,
+    matching the reference's return schema.
+    """
+    *lead, m, k = a.shape
+    n = b.shape[-1]
+    import numpy as np
+
+    batch = int(np.prod(lead)) if lead else 1
+    cfg = SpmmaConfig(
+        m=m, n=n, k=k, batch=batch,
+        dtype=str(a.dtype), out_dtype=str(jnp.dtype(out_dtype)),
+    )
+    plan = get_plan(cfg)
+    if timed:
+        return plan.timed(a, b)
+    return plan(a, b)

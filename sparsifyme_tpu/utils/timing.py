@@ -1,12 +1,30 @@
 """Wall-clock timing with warmup/compile exclusion.
 
 TPU-native equivalent of the reference's `util::timer_t` CUDA-event timer
-(`include/sparsify.me/util/timer.hxx:24-55`): on TPU, dispatch is async and
-compilation is traced once, so honest kernel timing = jit + warmup
-(compile excluded) + `block_until_ready` around a measured batch of
-iterations. Unlike the reference harness — which timed each kernel in a
-fresh process with cold caches (`examples/profiling.py:30-41`) — this
-measures steady-state throughput, which is what production serving sees.
+(`include/sparsify.me/util/timer.hxx:24-55`), hardened for relayed TPU
+transports where `jax.block_until_ready` acknowledges *dispatch*, not
+device completion (measured: a 137-GFLOP matmul "completes" in 0.1 ms by
+block_until_ready but takes ~24 ms to produce a fetchable scalar). Two
+rules follow:
+
+1. **Sync by fetching data.** The only trustworthy barrier is a
+   device-to-host transfer: :func:`sync` runs a tiny jitted probe (sum of
+   one state leaf) and fetches the 4-byte scalar. The fetch cannot return
+   before everything it depends on has executed.
+2. **Cancel the round trip by differencing.** The fetch pays a constant
+   relay round trip (tens of ms through the tunnel). :func:`time_chained`
+   times an N-iteration and a 2N-iteration on-device `lax.fori_loop` and
+   reports ``(wall(2N) - wall(N)) / N`` — the constant cancels exactly.
+
+The chained loop must carry a data dependency between iterations
+(:func:`salt_chain`), and the salt must be a *full reduction* of the
+output — salting with one element lets XLA dead-code-eliminate the rest
+of the producer (for a matmul: one dot product instead of the kernel, and
+measurements come out 100x too fast).
+
+Unlike the reference harness — which timed each kernel in a fresh process
+with cold caches (`examples/profiling.py:30-41`) — this measures
+steady-state device throughput, which is what production serving sees.
 """
 
 from __future__ import annotations
@@ -15,6 +33,7 @@ import time
 from typing import Any, Callable, NamedTuple
 
 import jax
+import jax.numpy as jnp
 
 
 class Timing(NamedTuple):
@@ -22,6 +41,19 @@ class Timing(NamedTuple):
     ms_min: float      # best rep
     iters: int         # calls per rep
     reps: int
+
+
+@jax.jit
+def _probe(leaf: jax.Array) -> jax.Array:
+    return jnp.sum(leaf.astype(jnp.float32))
+
+
+def sync(tree: Any) -> float:
+    """True execution barrier: reduce the last leaf of ``tree`` on device
+    and fetch the scalar. Returns the fetched value (useful as an
+    optimization-defeating sink)."""
+    leaf = jax.tree.leaves(tree)[-1]
+    return float(_probe(leaf))
 
 
 def time_fn(
@@ -32,23 +64,33 @@ def time_fn(
     reps: int = 3,
     **kwargs: Any,
 ) -> Timing:
-    """Time ``fn(*args)`` returning per-call milliseconds.
+    """Dispatch-loop timing: ``iters`` back-to-back dispatches bracketed
+    by fetch-syncs, minus the measured empty-pipeline round trip.
 
-    ``fn`` should be jitted; the first ``warmup`` calls absorb compilation
-    and are excluded. Each rep times ``iters`` back-to-back calls bracketed
-    by ``block_until_ready`` (the cudaEvent begin/end analog).
+    Prefer :func:`time_chained` for kernels; this exists for callables
+    whose state cannot be threaded through a loop. The relay round trip
+    is measured separately (median of ``reps`` empty syncs) and
+    subtracted; results for sub-roundtrip kernels are noisy.
     """
+    out = None
     for _ in range(warmup):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    sync(out)
+    # Median empty-pipeline round trip.
+    rtts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(out)
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
     samples = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        sync(out)
         t1 = time.perf_counter()
-        samples.append((t1 - t0) * 1e3 / iters)
+        samples.append(max(t1 - t0 - rtt, 0.0) * 1e3 / iters)
     samples.sort()
     return Timing(
         ms=samples[len(samples) // 2],
@@ -56,3 +98,67 @@ def time_fn(
         iters=iters,
         reps=reps,
     )
+
+
+def time_chained(
+    step: Callable[[Any], Any],
+    state0: Any,
+    *,
+    iters: int = 32,
+    reps: int = 3,
+) -> Timing:
+    """Time ``step`` (state -> state, same pytree structure) on-device.
+
+    ``step`` MUST thread a data dependency through its state via
+    :func:`salt_chain` (full-reduction salt), otherwise XLA hoists the
+    loop-invariant computation out of the loop — or computes only the
+    elements the carried scalar needs — and you measure nothing.
+
+    Runs ``iters`` and ``2*iters`` loops; reports the difference divided
+    by ``iters`` (constant dispatch/round-trip cost cancels; see module
+    docstring). Per-rep negatives (scheduling noise) are clamped to 0;
+    the median over ``reps`` is returned.
+    """
+
+    # Dynamic trip count: ONE compiled executable serves both loop
+    # lengths (remote compiles are the dominant cost on relayed
+    # transports; a fori_loop with a traced bound lowers to while_loop,
+    # which XLA cannot unroll — fine, since the body is the unit under
+    # test either way).
+    @jax.jit
+    def run(state, n):
+        return jax.lax.fori_loop(
+            0, n, lambda i, s: step(s), state,
+        )
+
+    n1 = jnp.int32(iters)
+    n2 = jnp.int32(2 * iters)
+    sync(run(state0, n1))  # compile + warmup
+    sync(run(state0, n2))
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(run(state0, n1))
+        t1 = time.perf_counter()
+        sync(run(state0, n2))
+        t2 = time.perf_counter()
+        samples.append(max((t2 - t1) - (t1 - t0), 0.0) * 1e3 / iters)
+    samples.sort()
+    return Timing(
+        ms=samples[len(samples) // 2],
+        ms_min=samples[0],
+        iters=iters,
+        reps=reps,
+    )
+
+
+def salt_chain(out: jax.Array, carrier: jax.Array) -> jax.Array:
+    """Fold a negligible scalar from ``out`` into ``carrier``, creating
+    the inter-iteration dependency :func:`time_chained` needs.
+
+    The scalar is a *full reduction* of ``out`` — every output element is
+    live, so XLA cannot dead-code-eliminate any part of the producer. The
+    salt is scaled by 1e-38 so the carrier's value is numerically
+    unchanged at runtime (underflows against any practical magnitude)."""
+    salt = jnp.sum(out.astype(jnp.float32)) * 1e-38
+    return (carrier.astype(jnp.float32) + salt).astype(carrier.dtype)

@@ -1,0 +1,95 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4(d): the standard TPU-less way to test shard_map collectives).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsifyme_tpu.ops.prune import prune_24
+from sparsifyme_tpu.ops.sparse24 import compress_24, spmm_24
+from sparsifyme_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from sparsifyme_tpu.parallel.spmm_sharded import (
+    spmm_24_batch_sharded,
+    spmm_24_ring,
+    spmm_24_row_sharded,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return make_mesh(shape=(2, 4), axis_names=("data", "model"))
+
+
+def _problem(rng, batch, m, k, n):
+    a = jnp.asarray(rng.normal(size=(batch, m, k)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(k, n)), jnp.float32)
+    pruned, _ = prune_24(a)
+    return compress_24(pruned), b, pruned
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    mesh1 = make_mesh(axis_names=("x",))
+    assert mesh1.shape["x"] == 8
+
+
+def test_batch_sharded_matches_single(rng, mesh8):
+    s, b, pruned = _problem(rng, batch=8, m=16, k=32, n=24)
+    got = spmm_24_batch_sharded(s, b, mesh8, axis="data")
+    want = spmm_24(s, b)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_row_sharded_matches_single(rng, mesh8):
+    s, b, pruned = _problem(rng, batch=1, m=64, k=32, n=16)
+    import dataclasses
+
+    s2 = jax.tree.map(lambda x: x[0], s)
+    s2 = dataclasses.replace(s2, shape=(64, 32))
+    got = spmm_24_row_sharded(s2, b, mesh8, axis="model")
+    want = spmm_24(s2, b)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_ring_matches_single(rng, mesh8):
+    # m=32 rows sharded 4-way, k4 = 32 groups sharded 4-way.
+    s, b, pruned = _problem(rng, batch=1, m=32, k=128, n=16)
+    import dataclasses
+
+    s2 = jax.tree.map(lambda x: x[0], s)
+    s2 = dataclasses.replace(s2, shape=(32, 128))
+    got = spmm_24_ring(s2, b, mesh8, axis="model", out_dtype=jnp.float32)
+    want = np.asarray(pruned[0], np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_ring_under_jit(rng, mesh8):
+    s, b, pruned = _problem(rng, batch=1, m=32, k=128, n=16)
+    import dataclasses
+
+    s2 = jax.tree.map(lambda x: x[0], s)
+    s2 = dataclasses.replace(s2, shape=(32, 128))
+    f = jax.jit(
+        lambda ss, bb: spmm_24_ring(
+            ss, bb, mesh8, axis="model", out_dtype=jnp.float32
+        )
+    )
+    got = f(s2, b)
+    want = np.asarray(pruned[0], np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_shard_batch_placement(rng, mesh8):
+    x = jnp.zeros((8, 4, 4))
+    xs = shard_batch(x, mesh8, axis="data")
+    assert xs.sharding.spec == jax.sharding.PartitionSpec("data", None, None)
+    xr = replicate(x, mesh8)
+    assert xr.sharding.spec == jax.sharding.PartitionSpec()

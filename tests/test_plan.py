@@ -1,0 +1,67 @@
+"""SpmmaPlan lifecycle tests (the cusparseLt plan-machinery analog)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sparsifyme_tpu.plan import SpmmaConfig, SpmmaPlan, get_plan, spmma
+
+
+def _rand(rng, shape, dtype=jnp.float32):
+    return jnp.asarray(rng.normal(size=shape), dtype)
+
+
+def test_plan_phases(rng):
+    cfg = SpmmaConfig(m=32, n=16, k=64, dtype="float32",
+                      out_dtype="float32")
+    plan = SpmmaPlan(cfg)
+    a = _rand(rng, (32, 64))
+    b = _rand(rng, (64, 16))
+    pruned = plan.prune(a)
+    assert bool(plan.prune_check(pruned))
+    s = plan.compress(pruned)
+    c = plan.matmul(s, b)
+    want = np.asarray(pruned, np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(np.asarray(c), want, rtol=1e-4, atol=1e-4)
+
+
+def test_plan_fused_matches_phases(rng):
+    cfg = SpmmaConfig(m=16, n=8, k=32, dtype="float32", out_dtype="float32")
+    plan = SpmmaPlan(cfg)
+    a = _rand(rng, (16, 32))
+    b = _rand(rng, (32, 8))
+    fused = plan(a, b)
+    phased = plan.matmul(plan.compress(plan.prune(a)), b)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(phased), rtol=1e-5
+    )
+
+
+def test_plan_operand_cache(rng):
+    cfg = SpmmaConfig(m=16, n=8, k=32, dtype="float32", out_dtype="float32")
+    plan = SpmmaPlan(cfg)
+    a = _rand(rng, (16, 32))
+    s = plan.compress(plan.prune(a))
+    plan.set_operand(s)
+    b1 = _rand(rng, (32, 8))
+    b2 = _rand(rng, (32, 8))
+    c1 = plan.matmul_cached(b1)
+    c2 = plan.matmul_cached(b2)
+    np.testing.assert_allclose(
+        np.asarray(c1), np.asarray(plan.matmul(s, b1)), rtol=1e-6
+    )
+    assert not np.allclose(np.asarray(c1), np.asarray(c2))
+
+
+def test_get_plan_caches():
+    cfg = SpmmaConfig(m=16, n=8, k=32)
+    assert get_plan(cfg) is get_plan(SpmmaConfig(m=16, n=8, k=32))
+    assert get_plan(cfg) is not get_plan(SpmmaConfig(m=16, n=8, k=64))
+
+
+def test_spmma_one_shot_timed(rng):
+    a = _rand(rng, (4, 16, 32))
+    b = _rand(rng, (32, 8))
+    out, times = spmma(a, b, timed=True)
+    assert out.shape == (4, 16, 8)
+    assert set(times) == {"prune", "compress", "mul"}
+    assert all(t.ms > 0 for t in times.values())
