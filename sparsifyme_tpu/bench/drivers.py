@@ -96,9 +96,9 @@ def run(kernel: str, m: int, n: int, k: int = 0, b: int = 1) -> None:
         from ..ops.prune import prune_nm
 
         a = jax.random.normal(key, (m, k), jnp.bfloat16)
-        coo = jax.jit(
-            lambda x: coo_from_dense(prune_nm(x, 2, 4)[0], nnz=m * k // 2)
-        )(a)
+        pruned = jax.jit(lambda x: prune_nm(x, 2, 4)[0])(a)
+        # COO construction is host-side (data-dependent nnz).
+        coo = coo_from_dense(pruned, nnz=m * k // 2)
         bm = jax.random.normal(key, (b, k, n), jnp.bfloat16)
 
         def step(st):
