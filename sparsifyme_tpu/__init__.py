@@ -20,12 +20,17 @@ from .ops.prune import (
     prune_nm,
     prune_threshold,
 )
+from .ops.coo import coo_from_dense, coo_to_dense, spmm_coo
+from .ops.ell import ell_from_dense, ell_to_dense, spmm_ell
 from .ops.sparse24 import (
     compress_24,
     decompress_24,
+    pack_codes,
     spmm_24,
     spmm_24_reference,
+    unpack_codes,
 )
+from .plan import SpmmaConfig, SpmmaPlan, get_plan, spmma
 from .utils.shapes import LayerShape, read_shapes, write_shapes
 
 __version__ = "0.1.0"
@@ -35,12 +40,20 @@ __all__ = [
     "Coo",
     "Sparse24",
     "LayerShape",
+    "SpmmaConfig",
+    "SpmmaPlan",
     "batched_gemm",
     "compress_24",
+    "coo_from_dense",
+    "coo_to_dense",
     "decompress_24",
+    "ell_from_dense",
+    "ell_to_dense",
     "gemm_bf16",
     "gemm_f32",
     "gemm_f64",
+    "get_plan",
+    "pack_codes",
     "prune_24",
     "prune_block_magnitude",
     "prune_block_topk",
@@ -51,5 +64,9 @@ __all__ = [
     "read_shapes",
     "spmm_24",
     "spmm_24_reference",
+    "spmm_coo",
+    "spmm_ell",
+    "spmma",
+    "unpack_codes",
     "write_shapes",
 ]

@@ -31,7 +31,6 @@ from ..ops.ell import ell_from_dense, spmm_ell
 from ..ops.gemm import batched_gemm
 from ..ops.prune import prune_nm
 from ..ops.sparse24 import compress_24, spmm_24
-from ..ops.sparse24 import decompress_24
 from ..utils.shapes import LayerShape
 from ..utils.timing import salt_chain, time_chained
 
@@ -84,8 +83,8 @@ def bench_shape(
     All measurements use chained on-device loops (`time_chained`): the
     matmul-like kernels thread a salt scalar from C back into B between
     iterations; prune self-chains (prune of pruned input is the same
-    work); compress is timed as a compress+decompress round-trip (slight
-    overstatement, noted in the column docs).
+    work); compress chains salts of all three output planes back into
+    its input so no plane is dead-code eliminated.
     """
     m, n, k, b = shape
     key = jax.random.PRNGKey(seed)
@@ -118,11 +117,16 @@ def bench_shape(
         out["prune_ms"] = t.ms
 
     if "spmm24" in kernels:
+        def compress_step(x):
+            s = compress_24(x)
+            # Salt with all three output planes so none is dead-code
+            # eliminated; the salts underflow to zero at runtime.
+            x = salt_chain(s.values0, x)
+            x = salt_chain(s.values1, x)
+            return salt_chain(s.codes, x)
+
         t = time_chained(
-            lambda x: decompress_24(compress_24(x)),
-            pruned,
-            iters=max(4, iters // 2),
-            reps=reps,
+            compress_step, pruned, iters=max(4, iters // 2), reps=reps
         )
         out["compress_ms"] = t.ms
         s = jax.jit(compress_24)(pruned)

@@ -60,10 +60,17 @@ class Sparse24:
     For logical shape ``(..., m, k)`` (k padded to a multiple of 4 before
     compression), groups are ``k4 = k // 4`` contiguous runs of 4.
 
+    Planes are stored **k-major** (``k4`` before ``m``): on TPU the last
+    dim pads to 128 lanes, so a lane-major ``(m, k4)`` layout would give
+    small-k layers a 4*128 = 512-element effective-k quantum; k-major
+    puts ``k4`` in the sublane dim (quantum 16/32), matching dense
+    padding economics. The Pallas kernel consumes this layout directly
+    (sublane `pltpu.repeat` decompress, A^T MXU contraction).
+
     Fields (``...`` = optional batch dims):
-      values0: ``(..., m, k4)`` — first kept value of each group (lower idx).
-      values1: ``(..., m, k4)`` — second kept value (higher idx).
-      codes:   ``(..., m, k4)`` uint8 — packed indices ``i0 * 4 + i1`` with
+      values0: ``(..., k4, m)`` — first kept value of each group (lower idx).
+      values1: ``(..., k4, m)`` — second kept value (higher idx).
+      codes:   ``(..., k4, m)`` uint8 — packed indices ``i0 * 4 + i1`` with
                ``0 <= i0 < i1 < 4`` (6 valid codes). 0.25 B per logical
                element vs 2 B for dense bf16.
       shape:   the logical (unpadded) dense shape.
@@ -80,7 +87,7 @@ class Sparse24:
 
     @property
     def k4(self) -> int:
-        return self.values0.shape[-1]
+        return self.values0.shape[-2]
 
     @property
     def nnz(self) -> int:

@@ -61,7 +61,8 @@ def init_params(key, config: MlpConfig) -> List[LayerParams]:
 
 def _layer(p: LayerParams, x: jax.Array, d_in: int, *, act: bool):
     v0, v1, codes, bias = p
-    w = Sparse24(v0, v1, codes, shape=(v0.shape[0], d_in))
+    # Planes are k-major [k4, d_out]: d_out is the last plane axis.
+    w = Sparse24(v0, v1, codes, shape=(v0.shape[-1], d_in))
     y = spmm_24(w, x.T, out_dtype=x.dtype).T + bias
     return jax.nn.relu(y) if act else y
 
@@ -85,12 +86,15 @@ def loss_fn(params, x, y, config: MlpConfig) -> jax.Array:
 # --------------------------------------------------------------------------
 
 def param_specs(config: MlpConfig, model_axis: str = "model"):
-    """shard_map specs: W row(d_out)-sharded, bias sharded to match."""
+    """shard_map specs: W row(d_out)-sharded, bias sharded to match.
+
+    Planes are k-major [k4, d_out], so the d_out shard axis is the last
+    plane axis."""
     return tuple(
         (
-            P(model_axis, None),  # values0
-            P(model_axis, None),  # values1
-            P(model_axis, None),  # codes
+            P(None, model_axis),  # values0
+            P(None, model_axis),  # values1
+            P(None, model_axis),  # codes
             P(model_axis),        # bias
         )
         for _ in range(config.n_layers)
@@ -121,7 +125,7 @@ def make_train_step(
             h = x
             for i, (v0, v1, codes, bias) in enumerate(layers):
                 d_in = config.dims[i]
-                w = Sparse24(v0, v1, codes, shape=(v0.shape[0], d_in))
+                w = Sparse24(v0, v1, codes, shape=(v0.shape[-1], d_in))
                 hT = spmm_24(w, h.T, out_dtype=h.dtype)  # [d_out/P, b]
                 hT = hT + bias[:, None]
                 hT = jax.lax.all_gather(

@@ -6,13 +6,23 @@ The device-side core of the reference's batched Blocked-ELL SpMM
 
 * The sparse A is stored as packed dense blocks (values ``[.., m,
   ell_blocks*bs]``) plus per-block-row block-column indices. Unlike the
-  reference's 2x2 blocks, block sizes are MXU-scaled (>= 8, typically 128),
-  so every kept block is a full systolic-array matmul and every *skipped*
-  block is real FLOPs saved — the TPU replacement for sparse tensor cores.
-* The block-column indices are scalar-prefetched
-  (`pltpu.PrefetchScalarGridSpec`), so the pipeline's DMA engine gathers
-  exactly the B row-blocks each kept A block needs, one tile ahead of
-  compute — no scalar-core stalls on the irregular access.
+  reference's 2x2 blocks, block sizes are MXU-scaled (>= 8, typically
+  128), so every kept block is a full systolic-array matmul and every
+  *skipped* block is real FLOPs saved — the TPU replacement for sparse
+  tensor cores.
+* **B stays resident in VMEM.** An n-tile of B ([k, bn], up to ~4 MB)
+  is DMA'd once per n-tile (the n-tile grid axis is outermost) and the
+  irregular block-row gather becomes a cheap dynamic *sublane slice* of
+  VMEM — B is never refetched from HBM per block-row, which would
+  otherwise multiply B traffic by the number of block-rows.
+* Each grid step processes ``mblk`` block-rows: the packed values tile
+  ``[mblk*bs, ell*bs]`` is one contiguous DMA, and a static loop over
+  its block-rows runs an ell-deep accumulation loop of
+  ``[bs, bs] @ [bs, bn]`` MXU matmuls — few, fat grid steps instead of
+  one tiny step per (block-row, ell-slot).
+* Block-column indices are scalar-prefetched (SMEM) and read inside the
+  kernel with dynamic indices — no scalar-core stalls on the irregular
+  access pattern.
 * The reference's OpenMP-threads x CUDA-streams batch fan-out
   (`spmm.hxx:94`) becomes a batch grid dimension.
 """
@@ -30,20 +40,25 @@ from jax.experimental.pallas import tpu as pltpu
 from .spmm24_kernel import _cdiv, _round_up, default_interpret
 
 
-def _kernel(col_ref, val_ref, b_ref, out_ref, acc_ref, *, n_ell: int):
-    kk = pl.program_id(3)
+def _kernel(col_ref, val_ref, b_ref, out_ref, *, mblk: int, n_ell: int,
+            bs: int, mb: int):
+    bi = pl.program_id(1)
+    ib = pl.program_id(2)
 
-    @pl.when(kk == 0)
-    def _zero():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    for r in range(mblk):  # static unroll over the tile's block-rows
+        row = (bi * mb + ib * mblk + r) * n_ell
 
-    acc_ref[:] += jnp.dot(
-        val_ref[0], b_ref[:], preferred_element_type=jnp.float32
-    )
+        def body(e, acc):
+            col = col_ref[row + e]
+            b_slab = b_ref[pl.ds(col * bs, bs), :]
+            a_blk = val_ref[0, r * bs:(r + 1) * bs, pl.ds(e * bs, bs)]
+            return acc + jnp.dot(
+                a_blk, b_slab, preferred_element_type=jnp.float32
+            )
 
-    @pl.when(kk == n_ell - 1)
-    def _store():
-        out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+        acc0 = jnp.zeros((bs, out_ref.shape[-1]), jnp.float32)
+        acc = jax.lax.fori_loop(0, n_ell, body, acc0)
+        out_ref[0, r * bs:(r + 1) * bs, :] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -72,59 +87,68 @@ def ell_spmm_pallas(
         raise ValueError(
             f"col_indices {col_indices.shape} != {(batch, mb, n_ell)}"
         )
-    if k % bs:
-        b = jnp.pad(b, ((0, _round_up(k, bs) - k), (0, 0)))
+    kp = _round_up(k, bs)
+    if kp != k:
+        b = jnp.pad(b, ((0, kp - k), (0, 0)))
 
-    bn = block_n or min(_round_up(n, 128), 512)
+    # n-tile: as fat as a ~4 MB resident B slab allows.
+    budget = 4 * 1024 * 1024
+    bn_cap = max(128, (budget // (kp * b.dtype.itemsize)) // 128 * 128)
+    bn = block_n or min(_round_up(n, 128), 1024, bn_cap)
     np_ = _round_up(n, bn)
     if np_ != n:
         b = jnp.pad(b, ((0, 0), (0, np_ - n)))
 
-    grid = (batch, mb, np_ // bn, n_ell)
+    # Block-rows per grid step: ~4 MB of packed values, divisor of mb.
+    mblk_cap = max(1, budget // max(1, bs * ellk * values.dtype.itemsize))
+    mblk = 1
+    for d in range(min(mb, mblk_cap, 8), 0, -1):
+        if mb % d == 0:
+            mblk = d
+            break
 
-    # The scalar-prefetch operand lives in SMEM, where trailing dims are
-    # tile-padded (..., 8, 128); keep it 1-D so a [batch, mb, ell] index
-    # table costs batch*mb*ell*4 bytes, not batch*pad8(mb)*128*4.
-    def _val_idx(bi, i, j, kk, col):
-        return (bi, i, kk)
+    # Outermost n-tile axis: the resident B slab is re-DMA'd only when
+    # the n-tile changes; values/out cycle beneath it.
+    grid = (np_ // bn, batch, mb // mblk)
 
-    def _b_idx(bi, i, j, kk, col):
-        return (col[(bi * mb + i) * n_ell + kk], j)
+    def _val_idx(j, bi, ib, col):
+        return (bi, ib, 0)
 
-    def _out_idx(bi, i, j, kk, col):
-        return (bi, i, j)
+    def _b_idx(j, bi, ib, col):
+        return (0, j)
+
+    def _out_idx(j, bi, ib, col):
+        return (bi, ib, j)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bs, bs), _val_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, bn), _b_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, mblk * bs, ellk), _val_idx, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((kp, bn), _b_idx, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, bs, bn), _out_idx, memory_space=pltpu.VMEM
+            (1, mblk * bs, bn), _out_idx, memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((bs, bn), jnp.float32)],
     )
 
     flops = 2 * batch * m * ellk * n
     bytes_accessed = (
         values.size * values.dtype.itemsize
-        + b.size * b.dtype.itemsize
+        + b.size * b.dtype.itemsize * (np_ // bn)
         + batch * m * n * jnp.dtype(out_dtype).itemsize
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, n_ell=n_ell),
+        functools.partial(
+            _kernel, mblk=mblk, n_ell=n_ell, bs=bs, mb=mb
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((batch, m, np_), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=(
-                "parallel",
-                "parallel",
-                "parallel",
-                "arbitrary",
-            ),
+            dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0

@@ -9,10 +9,12 @@ operand tile-wise in VMEM — Ampere sparse tensor cores do not exist on TPU,
 so the win is halved weight traffic from HBM, not halved FLOPs).
 
 Compressed layout (see :class:`~sparsifyme_tpu.containers.Sparse24`): two
-value planes ``values0/values1 (..., m, k4)`` and a packed ``codes`` uint8
-plane with ``i0*4+i1`` per group. This layout is chosen so the kernel can
-decompress with lane-aligned VPU ops only (``pltpu.repeat`` + compares), no
-gathers, no lane-splitting reshapes.
+**k-major** value planes ``values0/values1 (..., k4, m)`` and a packed
+``codes`` uint8 plane with ``i0*4+i1`` per group. k-major keeps the group
+axis in the TPU sublane dimension (padding quantum 16/32 instead of the
+128-lane quantum), so small-k layers pay dense-like padding; the kernel
+decompresses with sublane-aligned VPU ops only (``pltpu.repeat`` +
+compares), no gathers, no lane shuffles.
 """
 
 from __future__ import annotations
@@ -51,10 +53,11 @@ def compress_24(w: jax.Array) -> Sparse24:
     v0 = jnp.sum(jnp.where(pos == i0[..., None], groups, 0), axis=-1)
     v1 = jnp.sum(jnp.where(pos == i1[..., None], groups, 0), axis=-1)
     codes = (i0 * 4 + i1).astype(jnp.uint8)
+    # k-major planes: (..., m, k4) -> (..., k4, m).
     return Sparse24(
-        values0=v0.astype(w.dtype),
-        values1=v1.astype(w.dtype),
-        codes=codes,
+        values0=jnp.swapaxes(v0, -1, -2).astype(w.dtype),
+        values1=jnp.swapaxes(v1, -1, -2).astype(w.dtype),
+        codes=jnp.swapaxes(codes, -1, -2),
         shape=w.shape,
     )
 
@@ -63,15 +66,17 @@ def compress_24(w: jax.Array) -> Sparse24:
 def decompress_24(s: Sparse24) -> jax.Array:
     """Expand a :class:`Sparse24` back to dense (the exact inverse of
     :func:`compress_24` up to the pruned zeros)."""
-    *lead, m, k4 = s.values0.shape
-    codes = s.codes.astype(jnp.int32)
+    v0 = jnp.swapaxes(s.values0, -1, -2)  # (..., m, k4)
+    v1 = jnp.swapaxes(s.values1, -1, -2)
+    *lead, m, k4 = v0.shape
+    codes = jnp.swapaxes(s.codes, -1, -2).astype(jnp.int32)
     i0 = codes >> 2
     i1 = codes & 3
     j = jnp.arange(4, dtype=jnp.int32)
     dense_groups = jnp.where(
-        i0[..., None] == j, s.values0[..., None], jnp.zeros([], s.dtype)
+        i0[..., None] == j, v0[..., None], jnp.zeros([], s.dtype)
     ) + jnp.where(
-        i1[..., None] == j, s.values1[..., None], jnp.zeros([], s.dtype)
+        i1[..., None] == j, v1[..., None], jnp.zeros([], s.dtype)
     )
     dense = dense_groups.reshape(*lead, m, 4 * k4)
     return dense[..., : s.shape[-1]]
@@ -118,28 +123,30 @@ def _spmm24_fwd(cfg, v0, v1, codes, b):
 def _spmm24_bwd(cfg, res, g):
     import numpy as np
 
-    v0, v1, codes, b = res
+    v0, v1, codes, b = res  # k-major planes [bsz, k4, m]; g [bsz, m, n]
+    bsz, k4, m = v0.shape
     kl = cfg.k_logical
     g32 = g.astype(jnp.float32)
     # dense A for db (decompressed once; a fused bwd kernel is a later
     # optimization — XLA handles these matmuls on the MXU already).
-    s_tmp = Sparse24(v0, v1, codes, shape=(v0.shape[0], kl))
-    a = decompress_24(s_tmp).astype(jnp.float32)
-    db = jnp.matmul(a.T, g32, preferred_element_type=jnp.float32)
+    s_tmp = Sparse24(v0, v1, codes, shape=(bsz, m, kl))
+    a = decompress_24(s_tmp).astype(jnp.float32)  # [bsz, m, kl]
+    db = jnp.einsum(
+        "bmk,bmn->kn", a, g32, preferred_element_type=jnp.float32
+    )
     # dA gathered at the kept positions -> dv0 / dv1.
-    da = jnp.matmul(g32, b.astype(jnp.float32).T)  # [m, k_logical]
-    k4 = v0.shape[-1]
-    da = jnp.pad(da, ((0, 0), (0, 4 * k4 - kl)))
-    da_groups = da.reshape(da.shape[0], k4, 4)
-    ci = codes.astype(jnp.int32)
+    da = jnp.matmul(g32, b[:kl].astype(jnp.float32).T)  # [bsz, m, kl]
+    da = jnp.pad(da, ((0, 0), (0, 0), (0, 4 * k4 - kl)))
+    da_groups = da.reshape(bsz, m, k4, 4)
+    ci = jnp.swapaxes(codes, -1, -2).astype(jnp.int32)  # [bsz, m, k4]
     i0 = (ci >> 2)[..., None]
     i1 = (ci & 3)[..., None]
     dv0 = jnp.take_along_axis(da_groups, i0, axis=-1)[..., 0]
     dv1 = jnp.take_along_axis(da_groups, i1, axis=-1)[..., 0]
     dcodes = np.zeros(codes.shape, dtype=jax.dtypes.float0)
     return (
-        dv0.astype(v0.dtype),
-        dv1.astype(v1.dtype),
+        jnp.swapaxes(dv0, -1, -2).astype(v0.dtype),
+        jnp.swapaxes(dv1, -1, -2).astype(v1.dtype),
         dcodes,
         db.astype(b.dtype),
     )
@@ -174,13 +181,13 @@ def spmm_24(
     """
     *lead, m, k = s.shape
     v0, v1, codes = s.values0, s.values1, s.codes
-    if lead:
-        import numpy as np
+    import numpy as np
 
-        rows = int(np.prod(lead)) * m
-        v0 = v0.reshape(rows, v0.shape[-1])
-        v1 = v1.reshape(rows, v1.shape[-1])
-        codes = codes.reshape(rows, codes.shape[-1])
+    bsz = int(np.prod(lead)) if lead else 1
+    # Planes are k-major [..., k4, m]: flatten batch dims (free reshape).
+    v0 = v0.reshape(bsz, *v0.shape[len(lead):])
+    v1 = v1.reshape(bsz, *v1.shape[len(lead):])
+    codes = codes.reshape(bsz, *codes.shape[len(lead):])
     cfg = _Cfg(
         k_logical=k,
         out_dtype=out_dtype or jnp.promote_types(s.dtype, b.dtype),
@@ -191,26 +198,29 @@ def spmm_24(
     )
     out = _spmm24_core(cfg, v0, v1, codes, b)
     if lead:
-        out = out.reshape(*lead, m, out.shape[-1])
-    return out
+        return out.reshape(*lead, m, out.shape[-1])
+    return out[0]
 
 
 def pack_codes(codes: jax.Array) -> jax.Array:
-    """Pack two uint8 group codes (3 bits used each) per byte: 4 bits/group.
+    """Pack two uint8 group codes (4 bits used each) per byte.
 
-    Storage-density helper (0.125 B per logical element); kernels consume
-    the unpacked form, hot paths unpack once at plan-build time.
+    Pairs adjacent groups along the k-major group axis (``-2``). Storage-
+    density helper (0.125 B per logical element); kernels consume the
+    unpacked form, hot paths unpack once at plan-build time.
     """
-    *lead, m, k4 = codes.shape
-    cp = _pad_to_multiple(codes, -1, 2)
-    pairs = cp.reshape(*lead, m, -1, 2)
-    return (pairs[..., 0] | (pairs[..., 1] << 4)).astype(jnp.uint8)
+    cp = _pad_to_multiple(codes, -2, 2)
+    *lead, k4p, m = cp.shape
+    pairs = cp.reshape(*lead, k4p // 2, 2, m)
+    return (
+        pairs[..., 0, :] | (pairs[..., 1, :] << 4)
+    ).astype(jnp.uint8)
 
 
 def unpack_codes(packed: jax.Array, k4: int) -> jax.Array:
     lo = packed & 0xF
     hi = (packed >> 4) & 0xF
-    codes = jnp.stack([lo, hi], axis=-1).reshape(
-        *packed.shape[:-1], packed.shape[-1] * 2
+    codes = jnp.stack([lo, hi], axis=-2).reshape(
+        *packed.shape[:-2], packed.shape[-2] * 2, packed.shape[-1]
     )
-    return codes[..., :k4].astype(jnp.uint8)
+    return codes[..., :k4, :].astype(jnp.uint8)

@@ -54,6 +54,7 @@ def spmm_24_batch_sharded(
         raise ValueError("batch-sharded spmm needs a leading batch dim")
 
     def local(v0, v1, codes, bmat):
+        # Planes are k-major [batch, k4, m].
         s_local = Sparse24(v0, v1, codes, shape=(v0.shape[0],) + s.shape[1:])
         return spmm_24(s_local, bmat)
 
@@ -69,21 +70,26 @@ def spmm_24_batch_sharded(
 def spmm_24_row_sharded(
     s: Sparse24, b: jax.Array, mesh: Mesh, axis: str = "model"
 ) -> jax.Array:
-    """2:4 SpMM with A's rows (m) sharded over ``axis``, B replicated."""
+    """2:4 SpMM with A's rows (m) sharded over ``axis``, B replicated.
+
+    Planes are k-major ``(..., k4, m)``, so the row (m) shard axis is the
+    *last* plane axis; the output ``(..., m, n)`` shards on ``-2``.
+    """
     *lead, m, k = s.shape
 
     def local(v0, v1, codes, bmat):
         s_local = Sparse24(
-            v0, v1, codes, shape=(*lead, v0.shape[-2], k)
+            v0, v1, codes, shape=(*lead, v0.shape[-1], k)
         )
         return spmm_24(s_local, bmat)
 
     nb = len(lead)
-    spec_a = P(*([None] * nb), axis, None)
+    spec_a = P(*([None] * nb), None, axis)
+    spec_out = P(*([None] * nb), axis, None)
     f = _shard_map(
         local, mesh,
         in_specs=(spec_a, spec_a, spec_a, P(None, None)),
-        out_specs=spec_a,
+        out_specs=spec_out,
     )
     return f(s.values0, s.values1, s.codes, b)
 
@@ -112,7 +118,7 @@ def spmm_24_ring(
             "ring spmm currently takes unbatched A (stack batch into rows)"
         )
     P_ = mesh.shape[axis]
-    k4 = s.values0.shape[-1]
+    k4 = s.values0.shape[-2]  # planes are k-major [k4, m]
     if k4 % P_:
         raise ValueError(f"k4 {k4} not divisible by axis size {P_}")
     k4_shard = k4 // P_
@@ -123,7 +129,7 @@ def spmm_24_ring(
         # [me*k4_shard, (me+1)*k4_shard) initially and rotates each step.
         me = jax.lax.axis_index(axis)
         nloc = b_shard.shape[-1]
-        mloc = v0.shape[0]
+        mloc = v0.shape[-1]
         perm = [(i, (i + 1) % P_) for i in range(P_)]
 
         def step(i, carry):
@@ -133,10 +139,10 @@ def spmm_24_ring(
             # — i.e. k-groups starting at src * k4_shard.
             src = jnp.mod(me - i, P_)
             start = src * k4_shard
-            v0_s = jax.lax.dynamic_slice_in_dim(v0, start, k4_shard, axis=1)
-            v1_s = jax.lax.dynamic_slice_in_dim(v1, start, k4_shard, axis=1)
+            v0_s = jax.lax.dynamic_slice_in_dim(v0, start, k4_shard, axis=0)
+            v1_s = jax.lax.dynamic_slice_in_dim(v1, start, k4_shard, axis=0)
             cd_s = jax.lax.dynamic_slice_in_dim(
-                codes, start, k4_shard, axis=1
+                codes, start, k4_shard, axis=0
             )
             s_loc = Sparse24(
                 v0_s, v1_s, cd_s, shape=(mloc, 4 * k4_shard)
@@ -151,10 +157,10 @@ def spmm_24_ring(
         acc, _ = jax.lax.fori_loop(0, P_, step, (acc0, b_shard))
         return acc.astype(out_dtype)
 
-    spec_row = P(axis, None)
+    spec_plane = P(None, axis)  # k-major planes shard rows (m) on -1
     f = _shard_map(
         local, mesh,
-        in_specs=(spec_row, spec_row, spec_row, P(axis, None)),
-        out_specs=spec_row,
+        in_specs=(spec_plane, spec_plane, spec_plane, P(axis, None)),
+        out_specs=P(axis, None),
     )
     return f(s.values0, s.values1, s.codes, b)

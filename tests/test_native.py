@@ -81,9 +81,10 @@ def test_compress_24_matches_jax(rng):
     pn, _ = native.prune_nm(w, 2, 4)
     v0, v1, codes = native.compress_24(pn)
     s = sparse24.compress_24(jnp.asarray(pn))
-    np.testing.assert_array_equal(v0, np.asarray(s.values0))
-    np.testing.assert_array_equal(v1, np.asarray(s.values1))
-    np.testing.assert_array_equal(codes, np.asarray(s.codes))
+    # native host layout is [m, k4]; JAX planes are k-major [k4, m].
+    np.testing.assert_array_equal(v0, np.asarray(s.values0).T)
+    np.testing.assert_array_equal(v1, np.asarray(s.values1).T)
+    np.testing.assert_array_equal(codes, np.asarray(s.codes).T)
     np.testing.assert_array_equal(native.decompress_24(v0, v1, codes, 32), pn)
 
 

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from sparsifyme_tpu.containers import Sparse24
 from sparsifyme_tpu.ops.prune import prune_24
 from sparsifyme_tpu.ops.sparse24 import (
     compress_24,
@@ -29,7 +30,7 @@ def test_compress_decompress_roundtrip(rng):
     w = _rand(rng, (32, 64))
     pruned, _ = prune_24(w)
     s = compress_24(pruned)
-    assert s.values0.shape == (32, 16)
+    assert s.values0.shape == (16, 32)  # k-major [k4, m]
     assert s.codes.dtype == jnp.uint8
     back = decompress_24(s)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(pruned))
@@ -65,7 +66,7 @@ def test_pack_unpack_codes(rng):
     w = _rand(rng, (8, 64))
     s = compress_24(prune_24(w)[0])
     packed = pack_codes(s.codes)
-    assert packed.shape == (8, 8)
+    assert packed.shape == (8, 8)  # [k4/2, m]
     np.testing.assert_array_equal(
         np.asarray(unpack_codes(packed, 16)), np.asarray(s.codes)
     )
@@ -130,3 +131,47 @@ def test_spmm24_grad_flows(rng):
     g = jax.grad(loss)(b)
     assert g.shape == b.shape
     assert bool(jnp.any(g != 0))
+
+
+def test_spmm24_vjp_matches_reference(rng):
+    # Custom-VJP gradients vs autodiff of the dense-oracle path, both
+    # w.r.t. the compressed values and w.r.t. B.
+    a = _rand(rng, (16, 32), jnp.float32)
+    s = compress_24(prune_24(a)[0])
+    b = _rand(rng, (32, 24), jnp.float32)
+
+    def loss_kernel(v0, v1, bb):
+        s2 = Sparse24(v0, v1, s.codes, shape=s.shape)
+        return jnp.sum(spmm_24(s2, bb, out_dtype=jnp.float32) ** 2)
+
+    def loss_ref(v0, v1, bb):
+        s2 = Sparse24(v0, v1, s.codes, shape=s.shape)
+        return jnp.sum(spmm_24_reference(s2, bb, out_dtype=jnp.float32) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(s.values0, s.values1, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(s.values0, s.values1, b)
+    for got, want in zip(gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_spmm24_vjp_batched(rng):
+    a = _rand(rng, (2, 8, 16), jnp.float32)
+    s = compress_24(prune_24(a)[0])
+    b = _rand(rng, (16, 8), jnp.float32)
+
+    def loss_kernel(v0, v1, bb):
+        s2 = Sparse24(v0, v1, s.codes, shape=s.shape)
+        return jnp.sum(spmm_24(s2, bb, out_dtype=jnp.float32) ** 2)
+
+    def loss_ref(v0, v1, bb):
+        s2 = Sparse24(v0, v1, s.codes, shape=s.shape)
+        return jnp.sum(spmm_24_reference(s2, bb, out_dtype=jnp.float32) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(s.values0, s.values1, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(s.values0, s.values1, b)
+    for got, want in zip(gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
