@@ -13,14 +13,14 @@ designed TPU-first rather than translated:
   layers pad k to a 128-element quantum (same as a dense matmul) instead
   of the 512-element quantum an ``[M, K4]`` lane-major layout forces
   (k=147 would inflate to 512: 3.5x wasted FLOPs and bytes).
-* Each grid step decompresses one (4*block_k4, block_m) tile of A^T in
-  VMEM using only sublane-aligned VPU ops: ``pltpu.repeat(x, 4, axis=0)``
-  tiles the compact planes four times down the sublanes, a sublane iota
-  ``// block_k4`` labels each copy with its quarter q, and ``i == q``
-  selects positions. No gathers, no lane-splitting reshapes.
-* The decompressed tile contracts on the MXU via ``lax.dot_general``
-  with the *lhs contracting on dim 0* (A^T orientation — the systolic
-  array's natural weight-stationary feed); f32 VMEM accumulator; grid
+* Each grid step runs a statically-unrolled per-quarter
+  decompress-and-contract: quarter q's A^T slice is a *compact-domain*
+  select (``where(i0==q, v0, 0) + where(i1==q, v1, 0)`` on the
+  [block_k4, block_m] planes — ~5 VPU ops per logical element, no
+  sublane repeats, no expanded-domain index math), feeding its own MXU
+  ``lax.dot_general`` with the *lhs contracting on dim 0* (A^T
+  orientation — the systolic array's natural weight-stationary feed)
+  against the matching B slab; f32 VMEM accumulator; grid
   (batch, m, n, k) with k innermost ("arbitrary") for accumulation.
 * B's rows are pre-permuted once by the caller into the same strided
   quarter-major order (within each k-tile, logical row ``4g+q`` moves to
@@ -60,33 +60,31 @@ def _kernel(v0_ref, v1_ref, codes_ref, b_ref, out_ref, acc_ref, *, n_k: int):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     _, bk4, bm = v0_ref.shape
-    bk = 4 * bk4
 
     codes = codes_ref[0].astype(jnp.int32)
     i0 = codes >> 2
     i1 = codes & 3
+    v0 = v0_ref[0]
+    v1 = v1_ref[0]
+    zero = jnp.zeros((), v0.dtype)
 
-    # Tile the compact [bk4, bm] planes 4x down the sublanes; copy q
-    # holds rows q*bk4+g. The quarter label is a block-constant sublane
-    # iota; matching it against the stored in-group positions scatters
-    # each kept value to its quarter (everything sublane-aligned — no
-    # lane shuffles, so Mosaic keeps native layouts throughout).
-    v0r = pltpu.repeat(v0_ref[0], 4, axis=0)  # [bk, bm]
-    v1r = pltpu.repeat(v1_ref[0], 4, axis=0)
-    i0r = pltpu.repeat(i0, 4, axis=0)
-    i1r = pltpu.repeat(i1, 4, axis=0)
-    q = jax.lax.broadcasted_iota(jnp.int32, (bk, bm), 0) // bk4
-
-    zero = jnp.zeros((), v0r.dtype)
-    at = jnp.where(i0r == q, v0r, zero) + jnp.where(i1r == q, v1r, zero)
-
-    # A^T [bk, bm] x B [bk, bn] -> [bm, bn]: contract dim 0 of both.
-    acc_ref[:] += jax.lax.dot_general(
-        at,
-        b_ref[:],
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # Per-quarter decompress-and-contract, statically unrolled: quarter
+    # q's slice of A^T is a compact-domain select (no sublane repeats,
+    # no expanded-domain index arithmetic — the VPU work per logical A
+    # element is ~5 compact ops instead of ~13 expanded ones, and the
+    # VPU was the measured bottleneck). Each quarter feeds its own MXU
+    # contraction against the matching pre-permuted B slab; the four
+    # partial products accumulate in f32 VMEM.
+    acc = acc_ref[:]
+    for q in range(4):
+        aq = jnp.where(i0 == q, v0, zero) + jnp.where(i1 == q, v1, zero)
+        acc = acc + jax.lax.dot_general(
+            aq,
+            b_ref[q * bk4:(q + 1) * bk4, :],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc_ref[:] = acc
 
     @pl.when(k_idx == n_k - 1)
     def _store():
@@ -132,12 +130,21 @@ def spmm24_pallas(
         raise ValueError(f"k_logical {k_logical} > 4*k4 {4 * k4}")
 
     # --- tile selection ---------------------------------------------------
-    # k4 sits in the sublane dim: quantum 32 (uint8 tile height). m in
-    # lanes: quantum 128. bk = 4*bk4 <= 512 keeps the decompress
-    # intermediates and the B tile comfortably in VMEM.
+    # k4 sits in the sublane dim (quantum 16 for bf16). m in lanes:
+    # quantum 128. Pick bk4 to minimize k4 padding — every padded group
+    # is wasted traffic AND wasted MXU depth (ResNet k4s are multiples
+    # of 16 except the stem's 37, so most shapes pad zero).
     bm = block_m or min(_round_up(m, 128), 512)
     bn = block_n or min(_round_up(n, 128), 512)
-    bk4 = block_k4 or min(_round_up(k4, 32), 128)
+    if block_k4:
+        bk4 = block_k4
+    elif k4 <= 128:
+        bk4 = _round_up(k4, 16)
+    else:
+        bk4 = min(
+            range(16, 129, 16),
+            key=lambda c: (_round_up(k4, c), -c),
+        )
 
     mp = _round_up(m, bm)
     np_ = _round_up(n, bn)

@@ -131,18 +131,31 @@ def time_chained(
             0, n, lambda i, s: step(s), state,
         )
 
-    n1 = jnp.int32(iters)
-    n2 = jnp.int32(2 * iters)
-    sync(run(state0, n1))  # compile + warmup
-    sync(run(state0, n2))
-    samples = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        sync(run(state0, n1))
-        t1 = time.perf_counter()
-        sync(run(state0, n2))
-        t2 = time.perf_counter()
-        samples.append(max((t2 - t1) - (t1 - t0), 0.0) * 1e3 / iters)
+    sync(run(state0, jnp.int32(iters)))  # compile + warmup
+    sync(run(state0, jnp.int32(2 * iters)))
+
+    # Adaptive: the N vs 2N wall delta must stand well above the relay
+    # round-trip jitter (several ms), or fast kernels measure as noise /
+    # zero. Doubling the trip count is free — the bound is traced, so
+    # the same executable serves every N.
+    min_delta_s = 4e-3
+    while True:
+        n1 = jnp.int32(iters)
+        n2 = jnp.int32(2 * iters)
+        raw = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sync(run(state0, n1))
+            t1 = time.perf_counter()
+            sync(run(state0, n2))
+            t2 = time.perf_counter()
+            raw.append((t2 - t1) - (t1 - t0))
+        raw.sort()
+        med = raw[len(raw) // 2]
+        if med >= min_delta_s or iters >= 1024:
+            break
+        iters *= 2
+    samples = [max(r, 0.0) * 1e3 / iters for r in raw]
     samples.sort()
     return Timing(
         ms=samples[len(samples) // 2],
@@ -153,12 +166,17 @@ def time_chained(
 
 
 def salt_chain(out: jax.Array, carrier: jax.Array) -> jax.Array:
-    """Fold a negligible scalar from ``out`` into ``carrier``, creating
-    the inter-iteration dependency :func:`time_chained` needs.
+    """Chain ``carrier`` behind ``out`` with an optimization barrier,
+    creating the inter-iteration dependency :func:`time_chained` needs.
 
-    The scalar is a *full reduction* of ``out`` — every output element is
-    live, so XLA cannot dead-code-eliminate any part of the producer. The
-    salt is scaled by 1e-38 so the carrier's value is numerically
-    unchanged at runtime (underflows against any practical magnitude)."""
-    salt = jnp.sum(out.astype(jnp.float32)) * 1e-38
-    return (carrier.astype(jnp.float32) + salt).astype(carrier.dtype)
+    An *arithmetic* salt (carrier + tiny*reduce(out)) is defeatable: for
+    a linear op like matmul, XLA's algebraic simplifier can distribute
+    ``x @ (y + s)`` into a hoisted ``x @ y`` plus a rank-1 correction and
+    collapse the whole loop into scalar recursion (observed: measured
+    bandwidth above the HBM speed of light). ``lax.optimization_barrier``
+    is opaque to the simplifier: the returned carrier is data-dependent
+    on every element of ``out`` but numerically identical, so the
+    producer must fully execute every iteration and costs nothing extra.
+    """
+    carrier2, _ = jax.lax.optimization_barrier((carrier, out))
+    return carrier2
