@@ -105,7 +105,7 @@ def bench_shape(
 
         t = time_chained(gemm_step, (a, bm), iters=iters, reps=reps)
         out["gemm_ms"] = t.ms
-        out["gemm_tflops"] = flops / (t.ms * 1e9)
+        out["gemm_tflops"] = flops / (t.ms * 1e9) if t.ms > 0 else math.nan
 
     pruned = None
     if "prune" in kernels or "spmm24" in kernels:
@@ -138,8 +138,9 @@ def bench_shape(
 
         t = time_chained(spmm_step, (s, bm), iters=iters, reps=reps)
         out["spmm24_ms"] = t.ms
-        out["spmm24_tflops"] = flops / (t.ms * 1e9)
-        out["nnz_per_s"] = (b * m * (k // 2)) / (t.ms * 1e-3)
+        if t.ms > 0:
+            out["spmm24_tflops"] = flops / (t.ms * 1e9)
+            out["nnz_per_s"] = (b * m * (k // 2)) / (t.ms * 1e-3)
 
     if "ell" in kernels:
         bs = 128
@@ -159,12 +160,13 @@ def bench_shape(
 
         t = time_chained(ell_step, (e, bp), iters=iters, reps=reps)
         out["ell_ms"] = t.ms
-        out["ell_tflops"] = flops / (t.ms * 1e9)
+        if t.ms > 0:
+            out["ell_tflops"] = flops / (t.ms * 1e9)
 
-    if "gemm_ms" in out:
-        if "spmm24_ms" in out:
+    if out.get("gemm_ms", 0) > 0:
+        if out.get("spmm24_ms", 0) > 0:
             out["spmm24_speedup"] = out["gemm_ms"] / out["spmm24_ms"]
-        if "ell_ms" in out:
+        if out.get("ell_ms", 0) > 0:
             out["ell_speedup"] = out["gemm_ms"] / out["ell_ms"]
     return out
 

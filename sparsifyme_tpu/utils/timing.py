@@ -138,7 +138,7 @@ def time_chained(
     # round-trip jitter (several ms), or fast kernels measure as noise /
     # zero. Doubling the trip count is free — the bound is traced, so
     # the same executable serves every N.
-    min_delta_s = 4e-3
+    min_delta_s = 8e-3
     while True:
         n1 = jnp.int32(iters)
         n2 = jnp.int32(2 * iters)
@@ -152,7 +152,9 @@ def time_chained(
             raw.append((t2 - t1) - (t1 - t0))
         raw.sort()
         med = raw[len(raw) // 2]
-        if med >= min_delta_s or iters >= 1024:
+        # 16384-iter ceiling: even a ~0.5 us/iter kernel accumulates
+        # ~8 ms of on-device work, clear of the relay jitter floor.
+        if med >= min_delta_s or iters >= 16384:
             break
         iters *= 2
     samples = [max(r, 0.0) * 1e3 / iters for r in raw]
