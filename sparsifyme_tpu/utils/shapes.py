@@ -56,26 +56,35 @@ def _looks_like_path(s: str) -> bool:
 
 
 def _parse(f) -> List[LayerShape]:
+    """Header-aware parse. Understands both the reference's bare
+    ``m,n,k,b`` schema and our richer ``layer,m,n,k,b`` datagen output:
+    named header columns win; headerless/unnamed rows fall back to the
+    first four fields positionally."""
     reader = csv.reader(f)
     rows: List[LayerShape] = []
+    cols = [0, 1, 2, 3]
     for i, row in enumerate(reader):
         if not row:
             continue
         if i == 0:
-            # Header row ("m,n,k,b") — skip, as the reference parser does.
             try:
                 int(row[0])
             except ValueError:
+                names = [c.strip().lower() for c in row]
+                if all(c in names for c in ("m", "n", "k", "b")):
+                    cols = [names.index(c) for c in ("m", "n", "k", "b")]
                 continue
-        m, n, k, b = (int(x) for x in row[:4])
+        m, n, k, b = (int(row[c]) for c in cols)
         rows.append(LayerShape(m, n, k, b))
     return rows
 
 
 def write_shapes(path: str, shapes: Iterable[LayerShape]) -> None:
-    """Write shapes to the ``m,n,k,b`` CSV schema (with header)."""
+    """Write shapes to the ``layer,m,n,k,b`` CSV schema (with header).
+    The leading layer index is this library's extension; `read_shapes`
+    accepts both this and the reference's bare ``m,n,k,b`` schema."""
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["m", "n", "k", "b"])
-        for s in shapes:
-            w.writerow([s.m, s.n, s.k, s.b])
+        w.writerow(["layer", "m", "n", "k", "b"])
+        for i, s in enumerate(shapes):
+            w.writerow([i, s.m, s.n, s.k, s.b])
