@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.resnet_shapes import resnet_conv_shapes
-from ..utils.timing import salt_chain, time_chained
+from ..utils.timing import time_kernel
 
 
 def _geomean(xs: List[float]) -> float:
@@ -58,11 +58,8 @@ def config0_threshold_gemm_cpu(quick: bool = False) -> Dict:
             )(a)  # |N(0,1)| median -> ~50% sparsity
             sparsity = 1.0 - float(jnp.mean(mask))
 
-            def step(st):
-                x, y = st
-                return (x, salt_chain(gemm_f32(x, y), y))
-
-            t = time_chained(step, (ap, bm), iters=4, reps=3)
+            t = time_kernel(gemm_f32, (ap, bm), carrier=1, iters=4,
+                            reps=3)
             rows.append((s, sparsity, t.ms))
     return {
         "config": 0,
@@ -108,11 +105,8 @@ def config2_coo_resnet101(quick: bool = False) -> Dict:
             nnz = int(s.m * s.k * (1 - sp))
             coo = jax.jit(lambda x: coo_from_dense(x, nnz=nnz))(ap)
 
-            def step(st):
-                cc, y = st
-                return (cc, salt_chain(spmm_coo(cc, y), y))
-
-            t = time_chained(step, (coo, bm), iters=4, reps=3)
+            t = time_kernel(spmm_coo, (coo, bm), carrier=1, iters=4,
+                            reps=3)
             out_rows.append((s, sp, t.ms, 2.0 * nnz * s.n * s.b /
                              (t.ms * 1e9)))
     return {
@@ -178,21 +172,13 @@ def config4_row_partitioned_scaling(quick: bool = False) -> Dict:
     bm = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32)
     s = jax.jit(lambda x: compress_24(prune_nm(x, 2, 4)[0]))(a)
 
-    def step1(st):
-        ss, y = st
-        return (ss, salt_chain(spmm_24(ss, y), y))
-
-    t1 = time_chained(step1, (s, bm), iters=4, reps=3)
+    t1 = time_kernel(spmm_24, (s, bm), carrier=1, iters=4, reps=3)
 
     mesh = Mesh(np.array(jax.devices()), ("model",))
     with mesh:
         ring = jax.jit(lambda ss, y: spmm_24_ring(ss, y, mesh, "model"))
 
-        def stepP(st):
-            ss, y = st
-            return (ss, salt_chain(ring(ss, y), y))
-
-        tP = time_chained(stepP, (s, bm), iters=4, reps=3)
+        tP = time_kernel(ring, (s, bm), carrier=1, iters=4, reps=3)
     eff = t1.ms / (tP.ms * P)
     return {
         "config": 4,

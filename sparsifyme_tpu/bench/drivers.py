@@ -19,15 +19,14 @@ import jax
 import jax.numpy as jnp
 
 
-def _time(step, state0, iters=8, reps=3):
-    from ..utils.timing import time_chained
+def _time(fn, operands, carrier=0, iters=8, reps=3):
+    from ..utils.timing import time_kernel
 
-    return time_chained(step, state0, iters=iters, reps=reps).ms
+    return time_kernel(fn, operands, carrier=carrier, iters=iters,
+                       reps=reps).ms
 
 
 def run(kernel: str, m: int, n: int, k: int = 0, b: int = 1) -> None:
-    from ..utils.timing import salt_chain
-
     key = jax.random.PRNGKey(0)
 
     if kernel == "sparsify":
@@ -40,8 +39,8 @@ def run(kernel: str, m: int, n: int, k: int = 0, b: int = 1) -> None:
             lambda x: prune_block_magnitude(x, block=(2, 2), sparsity=0.5)[0]
         )(w)
         ms = _time(
-            lambda x: prune_block_magnitude(x, block=(2, 2), sparsity=0.5)[0],
-            w0,
+            lambda x: prune_block_magnitude(x, block=(2, 2), sparsity=0.5),
+            (w0,),
         )
         print(f"{ms:.6f}")
 
@@ -51,12 +50,7 @@ def run(kernel: str, m: int, n: int, k: int = 0, b: int = 1) -> None:
         a = jax.random.normal(key, (b, m, k), jnp.bfloat16)
         bm = jax.random.normal(key, (k, n), jnp.bfloat16)
 
-        def step(st):
-            x, y = st
-            c = batched_gemm(x, y, out_dtype=jnp.bfloat16)
-            return (x, salt_chain(c, y))
-
-        print(f"{_time(step, (a, bm)):.6f}")
+        print(f"{_time(lambda x, y: batched_gemm(x, y, out_dtype=jnp.bfloat16), (a, bm), carrier=1):.6f}")
 
     elif kernel == "spmm":
         from ..ops.ell import ell_from_dense, spmm_ell
@@ -70,12 +64,7 @@ def run(kernel: str, m: int, n: int, k: int = 0, b: int = 1) -> None:
         )(a)
         bm = jax.random.normal(key, (k, n), jnp.bfloat16)
 
-        def step(st):
-            ee, y = st
-            c = spmm_ell(ee, y)
-            return (ee, salt_chain(c, y))
-
-        print(f"{_time(step, (e, bm)):.6f}")
+        print(f"{_time(lambda ee, y: spmm_ell(ee, y), (e, bm), carrier=1):.6f}")
 
     elif kernel == "spmma":
         # Three labeled phase timings (examples/spmma.cu:61-66).
@@ -101,12 +90,7 @@ def run(kernel: str, m: int, n: int, k: int = 0, b: int = 1) -> None:
         coo = coo_from_dense(pruned, nnz=m * k // 2)
         bm = jax.random.normal(key, (b, k, n), jnp.bfloat16)
 
-        def step(st):
-            cc, y = st
-            c = spmm_coo(cc, y)
-            return (cc, salt_chain(c, y))
-
-        print(f"{_time(step, (coo, bm)):.6f}")
+        print(f"{_time(lambda cc, y: spmm_coo(cc, y), (coo, bm), carrier=1):.6f}")
 
     else:
         raise SystemExit(f"unknown kernel: {kernel}")

@@ -32,7 +32,7 @@ from ..ops.gemm import batched_gemm
 from ..ops.prune import prune_nm
 from ..ops.sparse24 import compress_24, spmm_24
 from ..utils.shapes import LayerShape
-from ..utils.timing import salt_chain, time_chained
+from ..utils.timing import time_kernel
 
 
 @dataclasses.dataclass
@@ -74,6 +74,7 @@ def bench_shape(
     iters: int = 16,
     reps: int = 3,
     seed: int = 0,
+    verbose: bool = False,
 ) -> Dict[str, float]:
     """Time the requested kernels for one (m, n, k, b) problem.
 
@@ -94,55 +95,55 @@ def bench_shape(
     out: Dict[str, float] = {}
     flops = 2.0 * m * n * k * b
 
+    def _mark(what: str) -> None:
+        if verbose:
+            print(f"    .. {what}", flush=True)
+
     # NOTE: every step function threads ALL device arrays through the loop
     # state — a closure over a large array would be baked into the jitted
     # executable as a constant (catastrophic with remote compilation).
     if "gemm" in kernels:
-        def gemm_step(st):
-            x, bmat = st
-            c = batched_gemm(x, bmat, out_dtype=dtype)
-            return (x, salt_chain(c, bmat))
-
-        t = time_chained(gemm_step, (a, bm), iters=iters, reps=reps)
+        _mark("gemm")
+        t = time_kernel(
+            lambda x, y: batched_gemm(x, y, out_dtype=dtype),
+            (a, bm), carrier=1, iters=iters, reps=reps,
+        )
         out["gemm_ms"] = t.ms
         out["gemm_tflops"] = flops / (t.ms * 1e9) if t.ms > 0 else math.nan
 
     pruned = None
     if "prune" in kernels or "spmm24" in kernels:
+        _mark("prune")
         fp = jax.jit(lambda x: prune_nm(x, 2, 4)[0])
         pruned = fp(a)
-        t = time_chained(
-            lambda x: prune_nm(x, 2, 4)[0], pruned, iters=iters, reps=reps
+        # Time the full op (weights AND mask outputs, like the reference
+        # kernel writes both — sparsify.hxx:71,74-81).
+        t = time_kernel(
+            lambda x: prune_nm(x, 2, 4), (pruned,), carrier=0,
+            iters=iters, reps=reps,
         )
         out["prune_ms"] = t.ms
 
     if "spmm24" in kernels:
-        def compress_step(x):
-            s = compress_24(x)
-            # Salt with all three output planes so none is dead-code
-            # eliminated; the salts underflow to zero at runtime.
-            x = salt_chain(s.values0, x)
-            x = salt_chain(s.values1, x)
-            return salt_chain(s.codes, x)
-
-        t = time_chained(
-            compress_step, pruned, iters=max(4, iters // 2), reps=reps
+        _mark("compress")
+        t = time_kernel(
+            compress_24, (pruned,), carrier=0,
+            iters=max(4, iters // 2), reps=reps,
         )
         out["compress_ms"] = t.ms
         s = jax.jit(compress_24)(pruned)
-
-        def spmm_step(st):
-            ss, bmat = st
-            c = spmm_24(ss, bmat, out_dtype=dtype)
-            return (ss, salt_chain(c, bmat))
-
-        t = time_chained(spmm_step, (s, bm), iters=iters, reps=reps)
+        _mark("spmm24")
+        t = time_kernel(
+            lambda ss, y: spmm_24(ss, y, out_dtype=dtype),
+            (s, bm), carrier=1, iters=iters, reps=reps,
+        )
         out["spmm24_ms"] = t.ms
         if t.ms > 0:
             out["spmm24_tflops"] = flops / (t.ms * 1e9)
             out["nnz_per_s"] = (b * m * (k // 2)) / (t.ms * 1e-3)
 
     if "ell" in kernels:
+        _mark("ell")
         bs = 128
         kp = _round_up(k, 2 * bs)
         mp = _round_up(m, bs)
@@ -153,12 +154,10 @@ def bench_shape(
             lambda x: ell_from_dense(x, block_size=bs, ell_blocks=ell_blocks)
         )(ap)
 
-        def ell_step(st):
-            ee, bmat = st
-            c = spmm_ell(ee, bmat, out_dtype=dtype)
-            return (ee, salt_chain(c, bmat))
-
-        t = time_chained(ell_step, (e, bp), iters=iters, reps=reps)
+        t = time_kernel(
+            lambda ee, y: spmm_ell(ee, y, out_dtype=dtype),
+            (e, bp), carrier=1, iters=iters, reps=reps,
+        )
         out["ell_ms"] = t.ms
         if t.ms > 0:
             out["ell_tflops"] = flops / (t.ms * 1e9)
@@ -186,8 +185,12 @@ def sweep(
     results = []
     for i, sh in enumerate(shapes):
         if sh not in cache:
+            if verbose:
+                print(f"[shape {len(cache) + 1}] m={sh.m} n={sh.n} "
+                      f"k={sh.k} b={sh.b}", flush=True)
             cache[sh] = bench_shape(
-                sh, dtype=dtype, kernels=kernels, iters=iters, reps=reps
+                sh, dtype=dtype, kernels=kernels, iters=iters, reps=reps,
+                verbose=verbose,
             )
             if verbose:
                 r = cache[sh]

@@ -16,11 +16,17 @@ rules follow:
    times an N-iteration and a 2N-iteration on-device `lax.fori_loop` and
    reports ``(wall(2N) - wall(N)) / N`` — the constant cancels exactly.
 
-The chained loop must carry a data dependency between iterations
-(:func:`salt_chain`), and the salt must be a *full reduction* of the
-output — salting with one element lets XLA dead-code-eliminate the rest
-of the producer (for a matmul: one dot product instead of the kernel, and
-measurements come out 100x too fast).
+The chained loop must (a) carry the kernel output in the loop state —
+a value that is a root of the loop body cannot be dead-code-eliminated
+and is materialized every iteration, exactly like real use — and (b)
+couple the next iteration's input to the previous output through
+`lax.optimization_barrier` so the compiler cannot hoist the
+loop-invariant kernel out of the loop (:func:`chain` /
+:func:`time_kernel` implement the pattern). Salting schemes that merge
+the output into the carrier and then DROP the output are defeated: XLA
+prunes unused optimization-barrier tuple elements and their operands,
+eliminating the kernel entirely (verified in optimized HLO: zero dot
+ops; measured: per-iteration deltas of ~0).
 
 Unlike the reference harness — which timed each kernel in a fresh process
 with cold caches (`examples/profiling.py:30-41`) — this measures
@@ -109,10 +115,12 @@ def time_chained(
 ) -> Timing:
     """Time ``step`` (state -> state, same pytree structure) on-device.
 
-    ``step`` MUST thread a data dependency through its state via
-    :func:`salt_chain` (full-reduction salt), otherwise XLA hoists the
-    loop-invariant computation out of the loop — or computes only the
-    elements the carried scalar needs — and you measure nothing.
+    ``step`` MUST keep the kernel's output in the returned state (a
+    loop-body root is always computed and materialized) and couple an
+    input operand to the previous output via :func:`chain`, otherwise
+    XLA hoists the loop-invariant computation out of the loop and you
+    measure nothing. Use :func:`time_kernel` to get this right
+    automatically.
 
     Runs ``iters`` and ``2*iters`` loops; reports the difference divided
     by ``iters`` (constant dispatch/round-trip cost cancels; see module
@@ -167,18 +175,57 @@ def time_chained(
     )
 
 
-def salt_chain(out: jax.Array, carrier: jax.Array) -> jax.Array:
-    """Chain ``carrier`` behind ``out`` with an optimization barrier,
-    creating the inter-iteration dependency :func:`time_chained` needs.
+def chain(carrier: jax.Array, *deps: Any) -> jax.Array:
+    """Couple ``carrier`` to ``deps`` (arrays or pytrees) through an
+    optimization barrier: the returned carrier is numerically identical
+    but the compiler must order it after every leaf of ``deps``.
 
-    An *arithmetic* salt (carrier + tiny*reduce(out)) is defeatable: for
-    a linear op like matmul, XLA's algebraic simplifier can distribute
-    ``x @ (y + s)`` into a hoisted ``x @ y`` plus a rank-1 correction and
-    collapse the whole loop into scalar recursion (observed: measured
-    bandwidth above the HBM speed of light). ``lax.optimization_barrier``
-    is opaque to the simplifier: the returned carrier is data-dependent
-    on every element of ``out`` but numerically identical, so the
-    producer must fully execute every iteration and costs nothing extra.
+    Use inside a :func:`time_chained` step to make iteration i+1's input
+    depend on iteration i's output. The deps themselves must ALSO stay
+    in the carried loop state — a barrier alone does not keep them
+    alive: XLA prunes unused barrier outputs together with their
+    operands. (An *arithmetic* salt is worse still: for a linear kernel
+    the algebraic simplifier distributes ``x @ (y + s)`` and hoists the
+    real work; observed measuring above the HBM speed of light.)
     """
-    carrier2, _ = jax.lax.optimization_barrier((carrier, out))
-    return carrier2
+    leaves = jax.tree.leaves(deps)
+    if not leaves:
+        return carrier
+    out = jax.lax.optimization_barrier((carrier, *leaves))
+    return out[0]
+
+
+def time_kernel(
+    fn: Callable[..., Any],
+    operands: tuple,
+    *,
+    carrier: int = 0,
+    iters: int = 16,
+    reps: int = 3,
+) -> Timing:
+    """Time ``fn(*operands)`` with the correct chained-loop structure.
+
+    Builds a :func:`time_chained` step whose state is ``(operands,
+    out)``: the output is a loop-body root (cannot be DCE'd, is
+    materialized every iteration, like real use), and operand number
+    ``carrier`` is barrier-coupled to the previous output (defeats
+    loop-invariant hoisting). Pick a small operand as the carrier; the
+    barrier itself moves no data.
+    """
+    # Zero-filled output as the initial carried value: only its shape
+    # matters (it feeds a barrier), and eval_shape avoids paying a
+    # remote compile for a throwaway executable.
+    out0 = jax.tree.map(
+        lambda sd: jnp.zeros(sd.shape, sd.dtype),
+        jax.eval_shape(fn, *operands),
+    )
+
+    def step(state):
+        ops, prev = state
+        ops = list(ops)
+        ops[carrier] = chain(ops[carrier], prev)
+        out = fn(*ops)
+        return (tuple(ops), out)
+
+    return time_chained(step, (tuple(operands), out0), iters=iters,
+                        reps=reps)
