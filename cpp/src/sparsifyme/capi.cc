@@ -49,26 +49,55 @@ long sm_read_shapes(const char* path, int64_t* out, long max_rows) {
   std::string line;
   long rows = 0;
   bool first = true;
+  // Column positions of m,n,k,b. Default: bare positional schema
+  // (the reference contract, util/util.hxx:36-61). A named header row
+  // (e.g. our datagen's "layer,m,n,k,b") overrides them.
+  int cols[4] = {0, 1, 2, 3};
   while (std::getline(f, line) && rows < max_rows) {
     if (line.empty()) continue;
     std::stringstream ss(line);
     std::string cell;
-    int64_t vals[4];
-    int i = 0;
-    bool ok = true;
-    while (i < 4 && std::getline(ss, cell, ',')) {
+    std::vector<std::string> cells;
+    while (std::getline(ss, cell, ',')) {
+      // Trim CR (python csv writes CRLF) and stray whitespace.
+      while (!cell.empty() &&
+             (cell.back() == '\r' || cell.back() == ' ' ||
+              cell.back() == '\t')) {
+        cell.pop_back();
+      }
+      std::size_t start = cell.find_first_not_of(" \t");
+      cells.push_back(start == std::string::npos ? std::string()
+                                                 : cell.substr(start));
+    }
+    if (first) {
+      first = false;
+      bool header = false;
       try {
-        vals[i++] = std::stoll(cell);
+        (void)std::stoll(cells.at(0));
+      } catch (...) {
+        header = true;
+      }
+      if (header) {
+        const char* names[4] = {"m", "n", "k", "b"};
+        for (int c = 0; c < 4; ++c) {
+          for (std::size_t j = 0; j < cells.size(); ++j) {
+            if (cells[j] == names[c]) cols[c] = static_cast<int>(j);
+          }
+        }
+        continue;
+      }
+    }
+    int64_t vals[4];
+    bool ok = true;
+    for (int c = 0; c < 4; ++c) {
+      try {
+        vals[c] = std::stoll(cells.at(cols[c]));
       } catch (...) {
         ok = false;
         break;
       }
     }
-    if (first) {
-      first = false;
-      if (!ok) continue;  // header row
-    }
-    if (!ok || i != 4) continue;
+    if (!ok) continue;
     std::memcpy(out + rows * 4, vals, sizeof(vals));
     ++rows;
   }
