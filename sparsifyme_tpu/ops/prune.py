@@ -101,17 +101,41 @@ def prune_nm(w: jax.Array, n: int = 2, m: int = 4) -> Tuple[jax.Array, jax.Array
     structured pattern consumed by the spmma pipeline
     (`CUSPARSELT_SPARSITY_50_PERCENT`, `spmma.hxx:56-58`).
 
+    Layout-preserving by design: ranking is computed with ``m - 1``
+    lane-rolls plus elementwise compares in the original ``(..., k)``
+    layout. (Reshaping groups into a trailing length-``m`` axis — the
+    obvious formulation — gives the array a 4-element lane dimension,
+    which TPU pads to 128 lanes: a 32x relayout tax that made this op
+    run at ~1/10th of HBM bandwidth.)
+
     The last axis is zero-padded to a multiple of ``m`` internally; padding
     never displaces real values (pads have magnitude 0 and lose magnitude
     ties to real elements by position only when values are exactly 0, in
     which case the choice is value-equivalent).
+
+    Tie-break: equal magnitudes rank by position, later positions win —
+    identical to a stable ascending argsort's rank order.
     """
     *lead, k = w.shape
     wp = _pad_to_multiple(w, -1, m)
     kp = wp.shape[-1]
-    groups = wp.reshape(*lead, kp // m, m)
-    keep = _keep_topn_mask(jnp.abs(groups), n)
-    mask = keep.reshape(*lead, kp)[..., :k].astype(w.dtype)
+    a = jnp.abs(wp)
+    # In-group position of every lane: 0..m-1 repeating.
+    pos = jax.lax.broadcasted_iota(jnp.int32, wp.shape, wp.ndim - 1) % m
+    # beat-count: how many group members outrank this element.
+    cnt = jnp.zeros(wp.shape, jnp.int32)
+    for s in range(1, m):
+        # Partner at in-group index (pos + s) % m: a lane-roll of -s for
+        # members ahead of us, +(m - s) for the wrap-around (both rolls
+        # are concat+slice on the lane axis — cheap, fusible).
+        fwd = jnp.roll(a, -s, axis=-1)
+        bwd = jnp.roll(a, m - s, axis=-1)
+        wraps = pos + s >= m
+        partner = jnp.where(wraps, bwd, fwd)
+        ppos = jnp.where(wraps, pos + s - m, pos + s)
+        beats = (partner > a) | ((partner == a) & (ppos > pos))
+        cnt = cnt + beats.astype(jnp.int32)
+    mask = (cnt < n).astype(w.dtype)[..., :k]
     return w * mask, mask
 
 

@@ -39,25 +39,56 @@ def compress_24(w: jax.Array) -> Sparse24:
     position, matching :func:`~.prune.prune_nm`); for an input that is
     already exactly 2:4 this selects precisely the nonzeros.
     """
-    from .prune import _keep_topn_mask
-
     *lead, m, k = w.shape
     wp = _pad_to_multiple(w, -1, 4)
-    k4 = wp.shape[-1] // 4
-    groups = wp.reshape(*lead, m, k4, 4)
-    keep = _keep_topn_mask(jnp.abs(groups), 2)  # exactly 2 True per group
-    pos = jnp.arange(4, dtype=jnp.int32)
-    # i0/i1 = smallest/largest kept position (comparison-based; no sorts).
-    i0 = jnp.min(jnp.where(keep, pos, 4), axis=-1)
-    i1 = jnp.max(jnp.where(keep, pos, -1), axis=-1)
-    v0 = jnp.sum(jnp.where(pos == i0[..., None], groups, 0), axis=-1)
-    v1 = jnp.sum(jnp.where(pos == i1[..., None], groups, 0), axis=-1)
+    # Transpose FIRST (one relayout), then do all group math in the
+    # target k-major layout, where a group is 4 consecutive *sublanes*:
+    # sublane rolls and stride-4 sublane slices are cheap VPU shuffles.
+    # (The obvious formulation — reshape groups into a trailing
+    # length-4 axis — hands TPU a 4-element lane dim padded to 128.)
+    wt = jnp.swapaxes(wp, -1, -2)  # (..., kp, m)
+    a = jnp.abs(wt)
+    gaxis = wt.ndim - 2
+    pos = jax.lax.broadcasted_iota(jnp.int32, wt.shape, gaxis) % 4
+    cnt = jnp.zeros(wt.shape, jnp.int32)       # members outranking me
+    partners = []                              # (keep-partner fodder)
+    for s in range(1, 4):
+        fwd = jnp.roll(a, -s, axis=gaxis)
+        bwd = jnp.roll(a, 4 - s, axis=gaxis)
+        wraps = pos + s >= 4
+        pa = jnp.where(wraps, bwd, fwd)
+        ppos = jnp.where(wraps, pos + s - 4, pos + s)
+        beats = (pa > a) | ((pa == a) & (ppos > pos))
+        cnt = cnt + beats.astype(jnp.int32)
+        partners.append((s, wraps, ppos))
+    keep = cnt < 2                             # exactly 2 per group
+    # How many kept members precede me in my group -> first/second slot.
+    kept_before = jnp.zeros(wt.shape, jnp.int32)
+    for s, wraps, ppos in partners:
+        kf = jnp.roll(keep, -s, axis=gaxis)
+        kb = jnp.roll(keep, 4 - s, axis=gaxis)
+        pk = jnp.where(wraps, kb, kf)
+        kept_before = kept_before + (pk & (ppos < pos)).astype(jnp.int32)
+    is0 = keep & (kept_before == 0)
+    is1 = keep & (kept_before == 1)
+
+    def _gsum(x):  # per-group sum: stride-4 sublane slices, 3 adds
+        sl = [
+            jax.lax.slice_in_dim(x, j, x.shape[gaxis], stride=4, axis=gaxis)
+            for j in range(4)
+        ]
+        return sl[0] + sl[1] + sl[2] + sl[3]
+
+    zero = jnp.zeros([], wt.dtype)
+    v0 = _gsum(jnp.where(is0, wt, zero))
+    v1 = _gsum(jnp.where(is1, wt, zero))
+    i0 = _gsum(jnp.where(is0, pos, 0))
+    i1 = _gsum(jnp.where(is1, pos, 0))
     codes = (i0 * 4 + i1).astype(jnp.uint8)
-    # k-major planes: (..., m, k4) -> (..., k4, m).
     return Sparse24(
-        values0=jnp.swapaxes(v0, -1, -2).astype(w.dtype),
-        values1=jnp.swapaxes(v1, -1, -2).astype(w.dtype),
-        codes=jnp.swapaxes(codes, -1, -2),
+        values0=v0.astype(w.dtype),
+        values1=v1.astype(w.dtype),
+        codes=codes,
         shape=w.shape,
     )
 
