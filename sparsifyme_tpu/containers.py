@@ -60,20 +60,22 @@ class Sparse24:
     For logical shape ``(..., m, k)`` (k padded to a multiple of 4 before
     compression), groups are ``k4 = k // 4`` contiguous runs of 4.
 
-    Planes are stored **k-major** (``k4`` before ``m``): on TPU the last
-    dim pads to 128 lanes, so a lane-major ``(m, k4)`` layout would give
-    small-k layers a 4*128 = 512-element effective-k quantum; k-major
-    puts ``k4`` in the sublane dim (quantum 16/32), matching dense
-    padding economics. The Pallas kernel consumes this layout directly
-    (sublane `pltpu.repeat` decompress, A^T MXU contraction).
+    Planes are stored **k-major and batch-folded**: always 2-D
+    ``[k4, M]`` with ``M = prod(batch_dims) * m`` (batch-major fold).
+    k-major puts ``k4`` in the sublane dim (quantum 16/32) — a
+    lane-major ``(m, k4)`` layout would give small-k layers a
+    4*128 = 512-element effective-k quantum. Batch-folding exploits the
+    shared-B convention: the kernel sees one fat matmul instead of
+    ``batch`` thin ones (B tiles fetched once, MXU tiles full even for
+    m=196 layers). The Pallas kernel consumes this layout directly.
 
-    Fields (``...`` = optional batch dims):
-      values0: ``(..., k4, m)`` — first kept value of each group (lower idx).
-      values1: ``(..., k4, m)`` — second kept value (higher idx).
-      codes:   ``(..., k4, m)`` uint8 — packed indices ``i0 * 4 + i1`` with
+    Fields:
+      values0: ``[k4, M]`` — first kept value of each group (lower idx).
+      values1: ``[k4, M]`` — second kept value (higher idx).
+      codes:   ``[k4, M]`` uint8 — packed indices ``i0 * 4 + i1`` with
                ``0 <= i0 < i1 < 4`` (6 valid codes). 0.25 B per logical
                element vs 2 B for dense bf16.
-      shape:   the logical (unpadded) dense shape.
+      shape:   the logical (unpadded) dense shape, incl. batch dims.
     """
 
     values0: jax.Array

@@ -115,16 +115,12 @@ def spmm_ell(
         return spmm_ell_reference(e, b, out_dtype=out_dtype)
 
     *lead, m, k = e.shape
-    values, cols = e.values, e.col_indices
-    if not lead:
-        values = values[None]
-        cols = cols[None]
-    else:
-        import numpy as np
-
-        bsz = int(np.prod(lead))
-        values = values.reshape(bsz, *values.shape[len(lead):])
-        cols = cols.reshape(bsz, *cols.shape[len(lead):])
+    # Batch folds into rows (free reshapes): B is shared across the
+    # batch, so the batch of thin SpMMs becomes one tall SpMM — the
+    # resident-B n-tile is fetched once total instead of once per batch
+    # element, and block-row tiles stay full for small-m layers.
+    values = e.values.reshape(-1, e.values.shape[-1])
+    cols = e.col_indices.reshape(-1, e.col_indices.shape[-1])
     out = ell_spmm_pallas(
         values,
         cols,
@@ -134,6 +130,4 @@ def spmm_ell(
         block_n=block_n,
         interpret=interpret,
     )
-    if not lead:
-        return out[0]
     return out.reshape(*lead, m, out.shape[-1])

@@ -53,7 +53,17 @@ def batched_gemm(
     if transpose_b:
         b = jnp.swapaxes(b, -1, -2)
     out_dtype = out_dtype or jnp.promote_types(a.dtype, b.dtype)
-    out = jnp.matmul(a, b, preferred_element_type=jnp.float32)
+    if b.ndim == 2 and a.ndim > 2:
+        # Shared-B batches fold into one fat matmul (free reshapes):
+        # batch-of-thin matmuls underfill the MXU and refetch B per
+        # batch element; this is the strongest form of the baseline.
+        lead = a.shape[:-2]
+        out = jnp.matmul(
+            a.reshape(-1, a.shape[-1]), b,
+            preferred_element_type=jnp.float32,
+        ).reshape(*lead, a.shape[-2], b.shape[-1])
+    else:
+        out = jnp.matmul(a, b, preferred_element_type=jnp.float32)
     out = alpha * out
     if c is not None:
         out = out + beta * c.astype(out.dtype)

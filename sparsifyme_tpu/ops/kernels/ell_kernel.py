@@ -42,23 +42,22 @@ from .spmm24_kernel import _cdiv, _round_up, default_interpret
 
 def _kernel(col_ref, val_ref, b_ref, out_ref, *, mblk: int, n_ell: int,
             bs: int, mb: int):
-    bi = pl.program_id(1)
-    ib = pl.program_id(2)
+    ib = pl.program_id(1)
 
     for r in range(mblk):  # static unroll over the tile's block-rows
-        row = (bi * mb + ib * mblk + r) * n_ell
+        row = (ib * mblk + r) * n_ell
 
         def body(e, acc):
             col = col_ref[row + e]
             b_slab = b_ref[pl.ds(col * bs, bs), :]
-            a_blk = val_ref[0, r * bs:(r + 1) * bs, pl.ds(e * bs, bs)]
+            a_blk = val_ref[r * bs:(r + 1) * bs, pl.ds(e * bs, bs)]
             return acc + jnp.dot(
                 a_blk, b_slab, preferred_element_type=jnp.float32
             )
 
         acc0 = jnp.zeros((bs, out_ref.shape[-1]), jnp.float32)
         acc = jax.lax.fori_loop(0, n_ell, body, acc0)
-        out_ref[0, r * bs:(r + 1) * bs, :] = acc.astype(out_ref.dtype)
+        out_ref[r * bs:(r + 1) * bs, :] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -66,8 +65,8 @@ def _kernel(col_ref, val_ref, b_ref, out_ref, *, mblk: int, n_ell: int,
     static_argnames=("block_size", "out_dtype", "block_n", "interpret"),
 )
 def ell_spmm_pallas(
-    values: jax.Array,       # [batch, m, ell_blocks * bs]
-    col_indices: jax.Array,  # [batch, m_blocks, ell_blocks] int32
+    values: jax.Array,       # [M, ell_blocks * bs] (batch folded in rows)
+    col_indices: jax.Array,  # [M_blocks, ell_blocks] int32
     b: jax.Array,            # [k, n] shared dense operand
     *,
     block_size: int,
@@ -75,17 +74,17 @@ def ell_spmm_pallas(
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """C[batch, m, n] = BlockedEll(values, col_indices) @ b, batched."""
+    """C[M, n] = BlockedEll(values, col_indices) @ b (batch-folded)."""
     if interpret is None:
         interpret = default_interpret()
     bs = block_size
-    batch, m, ellk = values.shape
+    m, ellk = values.shape
     n_ell = ellk // bs
     mb = m // bs
     k, n = b.shape
-    if col_indices.shape != (batch, mb, n_ell):
+    if col_indices.shape != (mb, n_ell):
         raise ValueError(
-            f"col_indices {col_indices.shape} != {(batch, mb, n_ell)}"
+            f"col_indices {col_indices.shape} != {(mb, n_ell)}"
         )
     kp = _round_up(k, bs)
     if kp != k:
@@ -109,36 +108,36 @@ def ell_spmm_pallas(
 
     # Outermost n-tile axis: the resident B slab is re-DMA'd only when
     # the n-tile changes; values/out cycle beneath it.
-    grid = (np_ // bn, batch, mb // mblk)
+    grid = (np_ // bn, mb // mblk)
 
-    def _val_idx(j, bi, ib, col):
-        return (bi, ib, 0)
+    def _val_idx(j, ib, col):
+        return (ib, 0)
 
-    def _b_idx(j, bi, ib, col):
+    def _b_idx(j, ib, col):
         return (0, j)
 
-    def _out_idx(j, bi, ib, col):
-        return (bi, ib, j)
+    def _out_idx(j, ib, col):
+        return (ib, j)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, mblk * bs, ellk), _val_idx, memory_space=pltpu.VMEM
+                (mblk * bs, ellk), _val_idx, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((kp, bn), _b_idx, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, mblk * bs, bn), _out_idx, memory_space=pltpu.VMEM
+            (mblk * bs, bn), _out_idx, memory_space=pltpu.VMEM
         ),
     )
 
-    flops = 2 * batch * m * ellk * n
+    flops = 2 * m * ellk * n
     bytes_accessed = (
         values.size * values.dtype.itemsize
         + b.size * b.dtype.itemsize * (np_ // bn)
-        + batch * m * n * jnp.dtype(out_dtype).itemsize
+        + m * n * jnp.dtype(out_dtype).itemsize
     )
 
     out = pl.pallas_call(
@@ -146,9 +145,9 @@ def ell_spmm_pallas(
             _kernel, mblk=mblk, n_ell=n_ell, bs=bs, mb=mb
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((batch, m, np_), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((m, np_), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0

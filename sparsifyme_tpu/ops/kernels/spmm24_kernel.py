@@ -5,14 +5,20 @@ The device-side core of the spmma pipeline's matmul phase
 designed TPU-first rather than translated:
 
 * A arrives compressed as two bf16 value planes plus a uint8 codes plane,
-  all stored **k-major**: ``v0/v1/codes [batch, K4, M]`` (``K4 = K/4``
-  groups). HBM traffic for A is ``(2+2+1)/8 = 0.625`` B per logical
-  element vs 2 B dense — the bandwidth win that replaces Ampere's FLOP
-  win. The k-major layout is load-bearing: it puts the group axis in the
-  *sublane* dimension, whose padding quantum is 16/32 rows, so small-k
-  layers pad k to a 128-element quantum (same as a dense matmul) instead
-  of the 512-element quantum an ``[M, K4]`` lane-major layout forces
-  (k=147 would inflate to 512: 3.5x wasted FLOPs and bytes).
+  stored **k-major and batch-folded**: ``v0/v1/codes [K4, M]`` with
+  ``K4 = K/4`` groups in sublanes and ``M = prod(batch) * m`` logical
+  rows in lanes. HBM traffic for A is ``(2+2+1)/8 = 0.625`` B per
+  logical element vs 2 B dense — the bandwidth win that replaces
+  Ampere's FLOP win. Two layout choices are load-bearing:
+    - k-major puts the group axis in the *sublane* dimension (padding
+      quantum 16/32), so small-k layers pad k like a dense matmul
+      instead of the 512-element quantum a ``[M, K4]`` lane-major
+      layout forces;
+    - batch-folding exploits the reference's shared-B convention
+      (`gemm.cu:40-41`, `spmm.hxx:67`): one fat matmul instead of
+      ``batch`` thin ones — B tiles are DMA'd once per (n, k) tile
+      instead of once per batch element, and small-m layers (m=196)
+      still fill 512-lane MXU tiles.
 * Each grid step runs a statically-unrolled per-quarter
   decompress-and-contract: quarter q's A^T slice is a *compact-domain*
   select (``where(i0==q, v0, 0) + where(i1==q, v1, 0)`` on the
@@ -21,7 +27,7 @@ designed TPU-first rather than translated:
   ``lax.dot_general`` with the *lhs contracting on dim 0* (A^T
   orientation — the systolic array's natural weight-stationary feed)
   against the matching B slab; f32 VMEM accumulator; grid
-  (batch, m, n, k) with k innermost ("arbitrary") for accumulation.
+  (m, n, k) with k innermost ("arbitrary") for accumulation.
 * B's rows are pre-permuted once by the caller into the same strided
   quarter-major order (within each k-tile, logical row ``4g+q`` moves to
   ``q*block_k4 + g``), so the contraction is unchanged.
@@ -53,42 +59,47 @@ def default_interpret() -> bool:
 
 
 def _kernel(v0_ref, v1_ref, codes_ref, b_ref, out_ref, acc_ref, *, n_k: int):
-    k_idx = pl.program_id(3)
+    k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _zero():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    _, bk4, bm = v0_ref.shape
+    bk4, bm = v0_ref.shape
 
-    codes = codes_ref[0].astype(jnp.int32)
+    codes = codes_ref[...].astype(jnp.int32)
     i0 = codes >> 2
     i1 = codes & 3
-    v0 = v0_ref[0]
-    v1 = v1_ref[0]
+    v0 = v0_ref[...]
+    v1 = v1_ref[...]
     zero = jnp.zeros((), v0.dtype)
 
     # Per-quarter decompress-and-contract, statically unrolled: quarter
     # q's slice of A^T is a compact-domain select (no sublane repeats,
-    # no expanded-domain index arithmetic — the VPU work per logical A
-    # element is ~5 compact ops instead of ~13 expanded ones, and the
-    # VPU was the measured bottleneck). Each quarter feeds its own MXU
-    # contraction against the matching pre-permuted B slab; the four
-    # partial products accumulate in f32 VMEM.
-    acc = acc_ref[:]
+    # no expanded-domain index arithmetic). Each quarter feeds its own
+    # MXU contraction against the matching pre-permuted B slab; the four
+    # partial products accumulate in f32 VMEM. v0 never lives in
+    # quarter 3 and v1 never in quarter 0 (codes have i0 < i1), so those
+    # selects are skipped.
+    acc = acc_ref[...]
     for q in range(4):
-        aq = jnp.where(i0 == q, v0, zero) + jnp.where(i1 == q, v1, zero)
+        if q == 0:
+            aq = jnp.where(i0 == q, v0, zero)
+        elif q == 3:
+            aq = jnp.where(i1 == q, v1, zero)
+        else:
+            aq = jnp.where(i0 == q, v0, zero) + jnp.where(i1 == q, v1, zero)
         acc = acc + jax.lax.dot_general(
             aq,
             b_ref[q * bk4:(q + 1) * bk4, :],
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    acc_ref[:] = acc
+    acc_ref[...] = acc
 
     @pl.when(k_idx == n_k - 1)
     def _store():
-        out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -115,15 +126,15 @@ def spmm24_pallas(
     block_k4: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """``C[bsz, M, N] = decompress24(v0, v1, codes)[..., :k_logical] @ b``.
+    """``C[M, N] = decompress24(v0, v1, codes)[:, :k_logical] @ b``.
 
-    ``v0/v1/codes``: k-major planes ``[bsz, K4, M]``; ``b``: ``[K, N]``
-    shared across the batch (reference shared-B convention,
-    `spmm.hxx:67`).
+    ``v0/v1/codes``: k-major batch-folded planes ``[K4, M]``; ``b``:
+    ``[K, N]`` shared across all folded rows (reference shared-B
+    convention, `spmm.hxx:67`).
     """
     if interpret is None:
         interpret = default_interpret()
-    bsz, k4, m = v0.shape
+    k4, m = v0.shape
     k_pad_in = b.shape[0]  # K as stored = 4 * k4 may exceed k_logical
     n = b.shape[1]
     if k_logical > 4 * k4:
@@ -154,17 +165,15 @@ def spmm24_pallas(
     # --- padding ----------------------------------------------------------
     if mp != m or k4p != k4:
         pad_m, pad_k4 = mp - m, k4p - k4
-        v0 = jnp.pad(v0, ((0, 0), (0, pad_k4), (0, pad_m)))
-        v1 = jnp.pad(v1, ((0, 0), (0, pad_k4), (0, pad_m)))
+        v0 = jnp.pad(v0, ((0, pad_k4), (0, pad_m)))
+        v1 = jnp.pad(v1, ((0, pad_k4), (0, pad_m)))
         # code 1 == (i0=0, i1=1): a valid code; padded values are zero.
-        codes = jnp.pad(
-            codes, ((0, 0), (0, pad_k4), (0, pad_m)), constant_values=1
-        )
+        codes = jnp.pad(codes, ((0, pad_k4), (0, pad_m)), constant_values=1)
     if kp != k_pad_in or np_ != n:
         b = jnp.pad(b, ((0, kp - k_pad_in), (0, np_ - n)))
 
     n_k = k4p // bk4
-    grid = (bsz, mp // bm, np_ // bn, n_k)
+    grid = (mp // bm, np_ // bn, n_k)
 
     # Permute B rows into the kernel's quarter-major tile order: within
     # each k-tile of 4*bk4 rows, logical row 4g+q moves to q*bk4+g.
@@ -174,12 +183,12 @@ def spmm24_pallas(
         .reshape(kp, np_)
     )
 
-    flops = 2 * bsz * m * k_logical * n
+    flops = 2 * m * k_logical * n
     bytes_accessed = (
         v0.size * v0.dtype.itemsize * 2
         + codes.size
         + b.size * b.dtype.itemsize
-        + bsz * m * n * jnp.dtype(out_dtype).itemsize
+        + m * n * jnp.dtype(out_dtype).itemsize
     )
 
     out = pl.pallas_call(
@@ -187,41 +196,39 @@ def spmm24_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, bk4, bm),
-                lambda bi, i, j, kk: (bi, kk, i),
+                (bk4, bm),
+                lambda i, j, kk: (kk, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, bk4, bm),
-                lambda bi, i, j, kk: (bi, kk, i),
+                (bk4, bm),
+                lambda i, j, kk: (kk, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, bk4, bm),
-                lambda bi, i, j, kk: (bi, kk, i),
+                (bk4, bm),
+                lambda i, j, kk: (kk, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (4 * bk4, bn),
-                lambda bi, i, j, kk: (kk, j),
+                lambda i, j, kk: (kk, j),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, bm, bn),
-            lambda bi, i, j, kk: (bi, i, j),
+            (bm, bn),
+            lambda i, j, kk: (i, j),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, mp, np_), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=(
-                "parallel", "parallel", "parallel", "arbitrary",
-            ),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
     )(v0, v1, codes, b)
-    return out[:, :m, :n]
+    return out[:m, :n]

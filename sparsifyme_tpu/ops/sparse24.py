@@ -8,13 +8,15 @@ and :func:`spmm_24` (a Pallas MXU kernel that expands the compressed
 operand tile-wise in VMEM — Ampere sparse tensor cores do not exist on TPU,
 so the win is halved weight traffic from HBM, not halved FLOPs).
 
-Compressed layout (see :class:`~sparsifyme_tpu.containers.Sparse24`): two
-**k-major** value planes ``values0/values1 (..., k4, m)`` and a packed
-``codes`` uint8 plane with ``i0*4+i1`` per group. k-major keeps the group
-axis in the TPU sublane dimension (padding quantum 16/32 instead of the
-128-lane quantum), so small-k layers pay dense-like padding; the kernel
-decompresses with sublane-aligned VPU ops only (``pltpu.repeat`` +
-compares), no gathers, no lane shuffles.
+Compressed layout (see :class:`~sparsifyme_tpu.containers.Sparse24`):
+two **k-major, batch-folded** value planes ``values0/values1 [k4, M]``
+(``M = prod(batch) * m``) and a ``codes`` uint8 plane with ``i0*4+i1``
+per group. k-major keeps the group axis in the TPU sublane dimension
+(padding quantum 16/32 instead of the 128-lane quantum), so small-k
+layers pay dense-like padding; batch-folding turns the reference's
+batch-of-thin-matmuls into one fat matmul against the shared B
+(`spmm.hxx:67`). The kernel decompresses with sublane-aligned VPU ops
+only — no gathers, no lane shuffles.
 """
 
 from __future__ import annotations
@@ -40,8 +42,11 @@ def compress_24(w: jax.Array) -> Sparse24:
     already exactly 2:4 this selects precisely the nonzeros.
     """
     *lead, m, k = w.shape
-    wp = _pad_to_multiple(w, -1, 4)
-    # Transpose FIRST (one relayout), then do all group math in the
+    # Fold batch dims into rows (free reshape), pad k to a group
+    # multiple, then transpose ONCE into the k-major [kp, M] layout.
+    w2 = w.reshape(-1, k)
+    wp = _pad_to_multiple(w2, -1, 4)
+    # Do all group math in the
     # target k-major layout, where a group is 4 consecutive *sublanes*:
     # sublane rolls and stride-4 sublane slices are cheap VPU shuffles.
     # (The obvious formulation — reshape groups into a trailing
@@ -96,21 +101,28 @@ def compress_24(w: jax.Array) -> Sparse24:
 @jax.jit
 def decompress_24(s: Sparse24) -> jax.Array:
     """Expand a :class:`Sparse24` back to dense (the exact inverse of
-    :func:`compress_24` up to the pruned zeros)."""
-    v0 = jnp.swapaxes(s.values0, -1, -2)  # (..., m, k4)
-    v1 = jnp.swapaxes(s.values1, -1, -2)
-    *lead, m, k4 = v0.shape
-    codes = jnp.swapaxes(s.codes, -1, -2).astype(jnp.int32)
+    :func:`compress_24` up to the pruned zeros).
+
+    Works in the k-major layout (groups = sublanes): each value plane is
+    sublane-repeated 4x and masked where the repeated group row's
+    in-group position matches the code — no gathers, no trailing-4
+    reshapes. One transpose at the end returns the row-major dense.
+    """
+    k4, m = s.values0.shape
+    codes = s.codes.astype(jnp.int32)
     i0 = codes >> 2
     i1 = codes & 3
-    j = jnp.arange(4, dtype=jnp.int32)
-    dense_groups = jnp.where(
-        i0[..., None] == j, v0[..., None], jnp.zeros([], s.dtype)
-    ) + jnp.where(
-        i1[..., None] == j, v1[..., None], jnp.zeros([], s.dtype)
-    )
-    dense = dense_groups.reshape(*lead, m, 4 * k4)
-    return dense[..., : s.shape[-1]]
+
+    def _expand(v, idx):
+        # [k4, m] -> [4*k4, m]: row 4g+j holds v[g] where idx[g] == j.
+        vr = jnp.repeat(v, 4, axis=0)
+        ir = jnp.repeat(idx, 4, axis=0)
+        j = jax.lax.broadcasted_iota(jnp.int32, vr.shape, 0) % 4
+        return jnp.where(ir == j, vr, jnp.zeros([], v.dtype))
+
+    dense_km = _expand(s.values0, i0) + _expand(s.values1, i1)  # [4k4, m]
+    dense = dense_km.T[:, : s.shape[-1]]
+    return dense.reshape(*s.shape[:-1], s.shape[-1])
 
 
 def spmm_24_reference(s: Sparse24, b: jax.Array, *, out_dtype=None) -> jax.Array:
@@ -154,30 +166,39 @@ def _spmm24_fwd(cfg, v0, v1, codes, b):
 def _spmm24_bwd(cfg, res, g):
     import numpy as np
 
-    v0, v1, codes, b = res  # k-major planes [bsz, k4, m]; g [bsz, m, n]
-    bsz, k4, m = v0.shape
+    v0, v1, codes, b = res  # k-major folded planes [k4, M]; g [M, n]
+    k4, m = v0.shape
     kl = cfg.k_logical
     g32 = g.astype(jnp.float32)
     # dense A for db (decompressed once; a fused bwd kernel is a later
     # optimization — XLA handles these matmuls on the MXU already).
-    s_tmp = Sparse24(v0, v1, codes, shape=(bsz, m, kl))
-    a = decompress_24(s_tmp).astype(jnp.float32)  # [bsz, m, kl]
+    s_tmp = Sparse24(v0, v1, codes, shape=(m, kl))
+    a = decompress_24(s_tmp).astype(jnp.float32)  # [M, kl]
     db = jnp.einsum(
-        "bmk,bmn->kn", a, g32, preferred_element_type=jnp.float32
+        "mk,mn->kn", a, g32, preferred_element_type=jnp.float32
     )
-    # dA gathered at the kept positions -> dv0 / dv1.
-    da = jnp.matmul(g32, b[:kl].astype(jnp.float32).T)  # [bsz, m, kl]
-    da = jnp.pad(da, ((0, 0), (0, 0), (0, 4 * k4 - kl)))
-    da_groups = da.reshape(bsz, m, k4, 4)
-    ci = jnp.swapaxes(codes, -1, -2).astype(jnp.int32)  # [bsz, m, k4]
-    i0 = (ci >> 2)[..., None]
-    i1 = (ci & 3)[..., None]
-    dv0 = jnp.take_along_axis(da_groups, i0, axis=-1)[..., 0]
-    dv1 = jnp.take_along_axis(da_groups, i1, axis=-1)[..., 0]
+    # dA at the kept positions -> dv0 / dv1, computed k-major: dA^T
+    # [kp, M] sampled at row 4g+i is a repeat+mask+group-sum — the same
+    # sublane machinery as compress, no gathers.
+    daT = jnp.matmul(
+        b[:kl].astype(jnp.float32), g32.T,
+        preferred_element_type=jnp.float32,
+    )  # [kl, M]
+    daT = jnp.pad(daT, ((0, 4 * k4 - kl), (0, 0)))
+    ci = codes.astype(jnp.int32)
+    i0r = jnp.repeat(ci >> 2, 4, axis=0)
+    i1r = jnp.repeat(ci & 3, 4, axis=0)
+    j = jax.lax.broadcasted_iota(jnp.int32, daT.shape, 0) % 4
+
+    def _gsum(x):
+        return (x[0::4] + x[1::4]) + (x[2::4] + x[3::4])
+
+    dv0 = _gsum(jnp.where(i0r == j, daT, 0.0))
+    dv1 = _gsum(jnp.where(i1r == j, daT, 0.0))
     dcodes = np.zeros(codes.shape, dtype=jax.dtypes.float0)
     return (
-        jnp.swapaxes(dv0, -1, -2).astype(v0.dtype),
-        jnp.swapaxes(dv1, -1, -2).astype(v1.dtype),
+        dv0.astype(v0.dtype),
+        dv1.astype(v1.dtype),
         dcodes,
         db.astype(b.dtype),
     )
@@ -211,14 +232,9 @@ def spmm_24(
       b: dense ``(k, n)`` (shared across any batch dims of ``s``).
     """
     *lead, m, k = s.shape
-    v0, v1, codes = s.values0, s.values1, s.codes
-    import numpy as np
-
-    bsz = int(np.prod(lead)) if lead else 1
-    # Planes are k-major [..., k4, m]: flatten batch dims (free reshape).
-    v0 = v0.reshape(bsz, *v0.shape[len(lead):])
-    v1 = v1.reshape(bsz, *v1.shape[len(lead):])
-    codes = codes.reshape(bsz, *codes.shape[len(lead):])
+    # Planes are k-major batch-folded [k4, M]; the kernel consumes them
+    # directly and the output [M, n] splits back along its leading dim
+    # for free.
     cfg = _Cfg(
         k_logical=k,
         out_dtype=out_dtype or jnp.promote_types(s.dtype, b.dtype),
@@ -227,10 +243,8 @@ def spmm_24(
         block_k4=block_k4,
         interpret=interpret,
     )
-    out = _spmm24_core(cfg, v0, v1, codes, b)
-    if lead:
-        return out.reshape(*lead, m, out.shape[-1])
-    return out[0]
+    out = _spmm24_core(cfg, s.values0, s.values1, s.codes, b)
+    return out.reshape(*lead, m, out.shape[-1])
 
 
 def pack_codes(codes: jax.Array) -> jax.Array:

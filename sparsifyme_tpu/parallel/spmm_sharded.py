@@ -52,19 +52,29 @@ def spmm_24_batch_sharded(
     """
     if len(s.shape) < 3:
         raise ValueError("batch-sharded spmm needs a leading batch dim")
+    *lead, m, k = s.shape
+    import numpy as np
+
+    bsz = int(np.prod(lead))
+    P_ = mesh.shape[axis]
+    if bsz % P_:
+        raise ValueError(f"batch {bsz} not divisible by axis size {P_}")
 
     def local(v0, v1, codes, bmat):
-        # Planes are k-major [batch, k4, m].
-        s_local = Sparse24(v0, v1, codes, shape=(v0.shape[0],) + s.shape[1:])
-        return spmm_24(s_local, bmat)
+        # Planes are k-major batch-folded [k4, bsz*m]; a lane-chunk of
+        # (bsz/P)*m columns is exactly bsz/P whole batch elements
+        # (batch-major fold).
+        s_local = Sparse24(v0, v1, codes, shape=(bsz // P_, m, k))
+        return spmm_24(s_local, bmat).reshape(-1, bmat.shape[-1])
 
-    spec_a = P(axis, None, None)
+    spec_a = P(None, axis)
     f = _shard_map(
         local, mesh,
         in_specs=(spec_a, spec_a, spec_a, P(None, None)),
-        out_specs=P(axis, None, None),
+        out_specs=P(axis, None),
     )
-    return f(s.values0, s.values1, s.codes, b)
+    out = f(s.values0, s.values1, s.codes, b)
+    return out.reshape(*lead, m, out.shape[-1])
 
 
 def spmm_24_row_sharded(
@@ -78,20 +88,21 @@ def spmm_24_row_sharded(
     *lead, m, k = s.shape
 
     def local(v0, v1, codes, bmat):
+        # Planes [k4, M]: the folded row axis (batch-major) shards on
+        # lanes; each chip computes its row-slab against replicated B.
         s_local = Sparse24(
-            v0, v1, codes, shape=(*lead, v0.shape[-1], k)
+            v0, v1, codes, shape=(v0.shape[-1], k)
         )
         return spmm_24(s_local, bmat)
 
-    nb = len(lead)
-    spec_a = P(*([None] * nb), None, axis)
-    spec_out = P(*([None] * nb), axis, None)
+    spec_a = P(None, axis)
     f = _shard_map(
         local, mesh,
         in_specs=(spec_a, spec_a, spec_a, P(None, None)),
-        out_specs=spec_out,
+        out_specs=P(axis, None),
     )
-    return f(s.values0, s.values1, s.codes, b)
+    out = f(s.values0, s.values1, s.codes, b)
+    return out.reshape(*lead, m, out.shape[-1])
 
 
 def spmm_24_ring(
@@ -117,6 +128,7 @@ def spmm_24_ring(
         raise NotImplementedError(
             "ring spmm currently takes unbatched A (stack batch into rows)"
         )
+    del lead
     P_ = mesh.shape[axis]
     k4 = s.values0.shape[-2]  # planes are k-major [k4, m]
     if k4 % P_:

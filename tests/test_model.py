@@ -38,7 +38,8 @@ def test_weights_are_24_sparse():
     params = init_params(jax.random.PRNGKey(0), config)
     for i, (v0, v1, codes, bias) in enumerate(params):
         w = decompress_24(
-            Sparse24(v0, v1, codes, shape=(v0.shape[0], config.dims[i]))
+            # planes are k-major [k4, d_out]: rows (m) are the lane axis
+            Sparse24(v0, v1, codes, shape=(v0.shape[1], config.dims[i]))
         )
         assert bool(prune_check_24(w))
 

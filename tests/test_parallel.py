@@ -50,8 +50,9 @@ def test_row_sharded_matches_single(rng, mesh8):
     s, b, pruned = _problem(rng, batch=1, m=64, k=32, n=16)
     import dataclasses
 
-    s2 = jax.tree.map(lambda x: x[0], s)
-    s2 = dataclasses.replace(s2, shape=(64, 32))
+    # planes are batch-folded [k4, M]: batch=1 is already the unbatched
+    # layout; only the logical shape needs restating.
+    s2 = dataclasses.replace(s, shape=(64, 32))
     got = spmm_24_row_sharded(s2, b, mesh8, axis="model")
     want = spmm_24(s2, b)
     np.testing.assert_allclose(
@@ -64,8 +65,7 @@ def test_ring_matches_single(rng, mesh8):
     s, b, pruned = _problem(rng, batch=1, m=32, k=128, n=16)
     import dataclasses
 
-    s2 = jax.tree.map(lambda x: x[0], s)
-    s2 = dataclasses.replace(s2, shape=(32, 128))
+    s2 = dataclasses.replace(s, shape=(32, 128))
     got = spmm_24_ring(s2, b, mesh8, axis="model", out_dtype=jnp.float32)
     want = np.asarray(pruned[0], np.float64) @ np.asarray(b, np.float64)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
@@ -75,8 +75,7 @@ def test_ring_under_jit(rng, mesh8):
     s, b, pruned = _problem(rng, batch=1, m=32, k=128, n=16)
     import dataclasses
 
-    s2 = jax.tree.map(lambda x: x[0], s)
-    s2 = dataclasses.replace(s2, shape=(32, 128))
+    s2 = dataclasses.replace(s, shape=(32, 128))
     f = jax.jit(
         lambda ss, bb: spmm_24_ring(
             ss, bb, mesh8, axis="model", out_dtype=jnp.float32
