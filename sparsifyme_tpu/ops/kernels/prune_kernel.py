@@ -1,0 +1,192 @@
+"""Pallas VPU kernels: N:M magnitude prune and 2:4 compress.
+
+The reference implements prune as a device-side thrust lambda
+(`include/sparsify.me/sparsify.hxx:74-81`) and compress via
+`cusparseLtSpMMACompress` (`include/sparsify.me/spmma.hxx:100-103`).
+Both ops are pure bandwidth: the arithmetic is a handful of compares per
+element. Written as Pallas kernels so the group-local shuffles are
+in-register `pltpu.roll`s — the XLA formulation lowers rolls to
+concat+slice, which breaks fusion and materializes every intermediate to
+HBM (measured: ~10x slower than these kernels' traffic floor).
+
+Ranking semantics (shared with `ops.prune.prune_nm` and the C++ host
+runtime): order by (|value|, position), later positions win magnitude
+ties; keep the top ``n`` of every contiguous group of ``m``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .spmm24_kernel import _round_up, default_interpret
+
+
+def _beat_count(a: jax.Array, pos: jax.Array, m: int, axis: int,
+                roll_fn) -> jax.Array:
+    """#group members outranking each element; group = m consecutive
+    entries along ``axis``, pos = in-group positions (iota % m)."""
+    cnt = jnp.zeros(a.shape, jnp.int32)
+    for s in range(1, m):
+        fwd = roll_fn(a, -s)   # roll_fn handles the negative shift
+        bwd = roll_fn(a, m - s)
+        wraps = pos + s >= m
+        pa = jnp.where(wraps, bwd, fwd)
+        ppos = jnp.where(wraps, pos + s - m, pos + s)
+        beats = (pa > a) | ((pa == a) & (ppos > pos))
+        cnt = cnt + beats.astype(jnp.int32)
+    return cnt
+
+
+def _prune_kernel(x_ref, out_ref, mask_ref, *, n: int, m: int):
+    x = x_ref[...]
+    a = jnp.abs(x)
+    pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % m
+
+    def lane_roll(v, s):  # pltpu.roll needs s >= 0; jnp.roll semantics
+        return pltpu.roll(v, s % v.shape[1], 1)
+
+    cnt = _beat_count(a, pos, m, 1, lane_roll)
+    keep = cnt < n
+    out_ref[...] = jnp.where(keep, x, jnp.zeros((), x.dtype))
+    mask_ref[...] = keep.astype(mask_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "interpret"))
+def prune_nm_pallas(
+    w: jax.Array, n: int = 2, m: int = 4,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """N:M magnitude prune along the last axis -> (pruned, mask).
+
+    Groups live in the lane dimension; partner compares are in-register
+    lane rolls. One HBM read, two writes — the bandwidth floor.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    *lead, k = w.shape
+    w2 = w.reshape(-1, k)
+    rows = w2.shape[0]
+    kp = _round_up(k, max(m, 1))
+    # Lane-dim tile must be a multiple of both the group size and 128;
+    # pad k so group boundaries never straddle a tile edge.
+    bk = min(_round_up(kp, 128), 2048)
+    kpp = _round_up(kp, bk)
+    bm = min(_round_up(rows, 8), 1024)
+    rp = _round_up(rows, bm)
+    if kpp != k or rp != rows:
+        w2 = jnp.pad(w2, ((0, rp - rows), (0, kpp - k)))
+
+    grid = (rp // bm, kpp // bk)
+    out, mask = pl.pallas_call(
+        functools.partial(_prune_kernel, n=n, m=m),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rp, kpp), w.dtype),
+            jax.ShapeDtypeStruct((rp, kpp), w.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(w2)
+    out = out[:rows, :k].reshape(*lead, k)
+    mask = mask[:rows, :k].reshape(*lead, k)
+    return out, mask
+
+
+def _compress_kernel(xt_ref, v0_ref, v1_ref, codes_ref):
+    """Input: k-major dense tile [bk (sublanes, groups of 4), bm].
+    Outputs: planes [bk//4, bm]."""
+    x = xt_ref[...]
+    a = jnp.abs(x)
+    pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) % 4
+
+    def sub_roll(v, s):  # pltpu.roll needs s >= 0; jnp.roll semantics
+        return pltpu.roll(v, s % v.shape[0], 0)
+
+    cnt = _beat_count(a, pos, 4, 0, sub_roll)
+    keep = cnt < 2
+    # Slot assignment: first/second kept member by position.
+    kept_before = jnp.zeros(x.shape, jnp.int32)
+    for s in range(1, 4):
+        kf = sub_roll(keep, -s)
+        kb = sub_roll(keep, 4 - s)
+        wraps = pos + s >= 4
+        pk = jnp.where(wraps, kb, kf)
+        ppos = jnp.where(wraps, pos + s - 4, pos + s)
+        kept_before = kept_before + (pk & (ppos < pos)).astype(jnp.int32)
+    is0 = keep & (kept_before == 0)
+    is1 = keep & (kept_before == 1)
+
+    def gsum(v):  # stride-4 sublane slices + 3 adds
+        return v[0::4] + v[1::4] + v[2::4] + v[3::4]
+
+    zero = jnp.zeros((), x.dtype)
+    v0_ref[...] = gsum(jnp.where(is0, x, zero))
+    v1_ref[...] = gsum(jnp.where(is1, x, zero))
+    i0 = gsum(jnp.where(is0, pos, 0))
+    i1 = gsum(jnp.where(is1, pos, 0))
+    codes_ref[...] = (i0 * 4 + i1).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def compress_24_pallas(
+    wt: jax.Array, interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """2:4 compress of a **k-major** dense matrix ``wt [kp, M]``
+    (``kp % 4 == 0``) into planes ``(v0, v1, codes) [kp//4, M]``.
+
+    The caller supplies the k-major transpose (one XLA relayout — the
+    only full-size data movement); all group math happens in-register
+    on sublanes.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    kp, mm = wt.shape
+    if kp % 4:
+        raise ValueError(f"k {kp} not a multiple of 4")
+    bk = min(_round_up(kp, 32), 2048)   # sublane tiles, group-aligned
+    kpp = _round_up(kp, bk)
+    bm = min(_round_up(mm, 128), 1024)
+    mp = _round_up(mm, bm)
+    if kpp != kp or mp != mm:
+        wt = jnp.pad(wt, ((0, kpp - kp), (0, mp - mm)))
+
+    grid = (kpp // bk, mp // bm)
+    bspec = pl.BlockSpec((bk, bm), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((bk // 4, bm), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    v0, v1, codes = pl.pallas_call(
+        _compress_kernel,
+        grid=grid,
+        in_specs=[bspec],
+        out_specs=[pspec, pspec, pspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((kpp // 4, mp), wt.dtype),
+            jax.ShapeDtypeStruct((kpp // 4, mp), wt.dtype),
+            jax.ShapeDtypeStruct((kpp // 4, mp), jnp.uint8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(wt)
+    k4 = kp // 4
+    return v0[:k4, :mm], v1[:k4, :mm], codes[:k4, :mm]

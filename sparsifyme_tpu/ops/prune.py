@@ -116,6 +116,12 @@ def prune_nm(w: jax.Array, n: int = 2, m: int = 4) -> Tuple[jax.Array, jax.Array
     Tie-break: equal magnitudes rank by position, later positions win —
     identical to a stable ascending argsort's rank order.
     """
+    from .kernels.prune_kernel import prune_nm_pallas
+
+    if jax.default_backend() == "tpu":
+        # Pallas kernel: group shuffles stay in registers (the XLA
+        # roll formulation materializes concat+slice intermediates).
+        return prune_nm_pallas(w, n, m)
     *lead, k = w.shape
     wp = _pad_to_multiple(w, -1, m)
     kp = wp.shape[-1]

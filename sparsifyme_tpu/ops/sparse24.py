@@ -46,6 +46,13 @@ def compress_24(w: jax.Array) -> Sparse24:
     # multiple, then transpose ONCE into the k-major [kp, M] layout.
     w2 = w.reshape(-1, k)
     wp = _pad_to_multiple(w2, -1, 4)
+    if jax.default_backend() == "tpu":
+        # Pallas kernel on the k-major transpose: the relayout is the
+        # only full-size data movement; group math is in-register.
+        from .kernels.prune_kernel import compress_24_pallas
+
+        v0, v1, codes = compress_24_pallas(jnp.swapaxes(wp, -1, -2))
+        return Sparse24(values0=v0, values1=v1, codes=codes, shape=w.shape)
     # Do all group math in the
     # target k-major layout, where a group is 4 consecutive *sublanes*:
     # sublane rolls and stride-4 sublane slices are cheap VPU shuffles.
