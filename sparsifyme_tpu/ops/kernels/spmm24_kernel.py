@@ -18,19 +18,22 @@ designed TPU-first rather than translated:
       (`gemm.cu:40-41`, `spmm.hxx:67`): one fat matmul instead of
       ``batch`` thin ones — B tiles are DMA'd once per (n, k) tile
       instead of once per batch element, and small-m layers (m=196)
-      still fill 512-lane MXU tiles.
-* Each grid step runs a statically-unrolled per-quarter
-  decompress-and-contract: quarter q's A^T slice is a *compact-domain*
-  select (``where(i0==q, v0, 0) + where(i1==q, v1, 0)`` on the
-  [block_k4, block_m] planes — ~5 VPU ops per logical element, no
-  sublane repeats, no expanded-domain index math), feeding its own MXU
-  ``lax.dot_general`` with the *lhs contracting on dim 0* (A^T
-  orientation — the systolic array's natural weight-stationary feed)
-  against the matching B slab; f32 VMEM accumulator; grid
-  (m, n, k) with k innermost ("arbitrary") for accumulation.
+      still fill wide MXU tiles.
+* Each grid step expands its A^T tile to quarter-major ``[4*bk4, bm]``
+  with `pltpu.repeat` (tile-repeat: row ``q*bk4 + g`` holds group g) and
+  two compare-selects against the repeated codes — then feeds ONE fat
+  ``lax.dot_general`` (lhs contracting dim 0: the A^T weight-stationary
+  orientation). A single deep MXU op per step beats four shallow
+  per-quarter ops: fewer VPU accumulator adds, better MXU pipelining
+  (v3 measured ~55% of the dense matmul's rate; the quarter-unrolled
+  form was VPU/step-overhead bound).
+* Tiles are fat on purpose: per-grid-step fixed costs dominated v3 on
+  bandwidth-bound shapes (0.7 us/step at ~0.17 MB/step), so bm grows to
+  2048 and bk4 up to 256 under a VMEM budget, preferring a single
+  k-step (no f32 scratch accumulator at all when n_k == 1).
 * B's rows are pre-permuted once by the caller into the same strided
   quarter-major order (within each k-tile, logical row ``4g+q`` moves to
-  ``q*block_k4 + g``), so the contraction is unchanged.
+  ``q*bk4 + g``), so the contraction is unchanged.
 """
 
 from __future__ import annotations
@@ -58,48 +61,80 @@ def default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(v0_ref, v1_ref, codes_ref, b_ref, out_ref, acc_ref, *, n_k: int):
-    k_idx = pl.program_id(2)
-
-    @pl.when(k_idx == 0)
-    def _zero():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    bk4, bm = v0_ref.shape
-
+def _expand(v0_ref, v1_ref, codes_ref, bk4):
+    """Quarter-major expanded A^T tile [4*bk4, bm] from compact planes."""
     codes = codes_ref[...].astype(jnp.int32)
     i0 = codes >> 2
     i1 = codes & 3
     v0 = v0_ref[...]
     v1 = v1_ref[...]
     zero = jnp.zeros((), v0.dtype)
+    vr0 = pltpu.repeat(v0, 4, 0)
+    vr1 = pltpu.repeat(v1, 4, 0)
+    ir0 = pltpu.repeat(i0, 4, 0)
+    ir1 = pltpu.repeat(i1, 4, 0)
+    q = jax.lax.broadcasted_iota(jnp.int32, vr0.shape, 0) // bk4
+    return jnp.where(ir0 == q, vr0, zero) + jnp.where(ir1 == q, vr1, zero)
 
-    # Per-quarter decompress-and-contract, statically unrolled: quarter
-    # q's slice of A^T is a compact-domain select (no sublane repeats,
-    # no expanded-domain index arithmetic). Each quarter feeds its own
-    # MXU contraction against the matching pre-permuted B slab; the four
-    # partial products accumulate in f32 VMEM. v0 never lives in
-    # quarter 3 and v1 never in quarter 0 (codes have i0 < i1), so those
-    # selects are skipped.
-    acc = acc_ref[...]
-    for q in range(4):
-        if q == 0:
-            aq = jnp.where(i0 == q, v0, zero)
-        elif q == 3:
-            aq = jnp.where(i1 == q, v1, zero)
-        else:
-            aq = jnp.where(i0 == q, v0, zero) + jnp.where(i1 == q, v1, zero)
-        acc = acc + jax.lax.dot_general(
-            aq,
-            b_ref[q * bk4:(q + 1) * bk4, :],
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    acc_ref[...] = acc
+
+def _kernel_acc(v0_ref, v1_ref, codes_ref, b_ref, out_ref, acc_ref, *,
+                n_k: int, bk4: int):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    af = _expand(v0_ref, v1_ref, codes_ref, bk4)
+    acc_ref[...] += jax.lax.dot_general(
+        af, b_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
     @pl.when(k_idx == n_k - 1)
     def _store():
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def _kernel_single(v0_ref, v1_ref, codes_ref, b_ref, out_ref, *, bk4: int):
+    af = _expand(v0_ref, v1_ref, codes_ref, bk4)
+    out_ref[...] = jax.lax.dot_general(
+        af, b_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def _pick_tiles(m, n, k4, dtype_bytes=2, vmem_budget=12 * 1024 * 1024):
+    """(bm, bn, bk4): fat tiles under a VMEM budget.
+
+    Preference order: single k-step (bk4 = k4 rounded to 16, up to 256)
+    -> fat bm (amortize per-step fixed cost + deepen B reuse) -> bn.
+    """
+    bn = min(_round_up(n, 128), 512)
+    if k4 <= 256:
+        bk4 = _round_up(k4, 16)
+    else:
+        # Minimize total padded work, then prefer fewer k-steps.
+        bk4 = min(
+            range(64, 257, 16),
+            key=lambda c: (_round_up(k4, c), _cdiv(k4, c)),
+        )
+    # VMEM per grid step (double-buffered ins/outs):
+    #   planes 5*bk4*bm, B 4*bk4*bn*2, out bm*bn*2, acc bm*bn*4,
+    #   expanded A^T 4*bk4*bm*2 (register/VMEM temp).
+    for bm in (2048, 1536, 1024, 512, 256, 128):
+        if bm > _round_up(m, 128):
+            continue
+        need = (
+            2 * (5 * bk4 * bm)
+            + 2 * (4 * bk4 * bn * dtype_bytes)
+            + 2 * (bm * bn * dtype_bytes)
+            + bm * bn * 4
+            + 4 * bk4 * bm * dtype_bytes
+        )
+        if need <= vmem_budget:
+            return bm, bn, bk4
+    return 128, bn, bk4
 
 
 @functools.partial(
@@ -140,22 +175,10 @@ def spmm24_pallas(
     if k_logical > 4 * k4:
         raise ValueError(f"k_logical {k_logical} > 4*k4 {4 * k4}")
 
-    # --- tile selection ---------------------------------------------------
-    # k4 sits in the sublane dim (quantum 16 for bf16). m in lanes:
-    # quantum 128. Pick bk4 to minimize k4 padding — every padded group
-    # is wasted traffic AND wasted MXU depth (ResNet k4s are multiples
-    # of 16 except the stem's 37, so most shapes pad zero).
-    bm = block_m or min(_round_up(m, 128), 512)
-    bn = block_n or min(_round_up(n, 128), 512)
-    if block_k4:
-        bk4 = block_k4
-    elif k4 <= 128:
-        bk4 = _round_up(k4, 16)
-    else:
-        bk4 = min(
-            range(16, 129, 16),
-            key=lambda c: (_round_up(k4, c), -c),
-        )
+    abm, abn, abk4 = _pick_tiles(m, n, k4)
+    bm = block_m or abm
+    bn = block_n or abn
+    bk4 = block_k4 or abk4
 
     mp = _round_up(m, bm)
     np_ = _round_up(n, bn)
@@ -191,38 +214,23 @@ def spmm24_pallas(
         + m * n * jnp.dtype(out_dtype).itemsize
     )
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, n_k=n_k),
+    in_specs = [
+        pl.BlockSpec((bk4, bm), lambda i, j, kk: (kk, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk4, bm), lambda i, j, kk: (kk, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk4, bm), lambda i, j, kk: (kk, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4 * bk4, bn), lambda i, j, kk: (kk, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                            memory_space=pltpu.VMEM)
+    common = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (bk4, bm),
-                lambda i, j, kk: (kk, i),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (bk4, bm),
-                lambda i, j, kk: (kk, i),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (bk4, bm),
-                lambda i, j, kk: (kk, i),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (4 * bk4, bn),
-                lambda i, j, kk: (kk, j),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (bm, bn),
-            lambda i, j, kk: (i, j),
-            memory_space=pltpu.VMEM,
-        ),
+        in_specs=in_specs,
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -230,5 +238,15 @@ def spmm24_pallas(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(v0, v1, codes, b)
+    )
+    if n_k == 1:
+        out = pl.pallas_call(
+            functools.partial(_kernel_single, bk4=bk4), **common
+        )(v0, v1, codes, b)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_kernel_acc, n_k=n_k, bk4=bk4),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            **common,
+        )(v0, v1, codes, b)
     return out[:m, :n]
