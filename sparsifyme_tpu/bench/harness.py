@@ -104,12 +104,25 @@ def bench_shape(
     # executable as a constant (catastrophic with remote compilation).
     if "gemm" in kernels:
         _mark("gemm")
-        t = time_kernel(
+        # The dense baseline is the BEST dense formulation: shared-B
+        # batches folded into one fat matmul vs XLA's batched path
+        # (tall-skinny shapes sometimes favor the latter).
+        t_fold = time_kernel(
             lambda x, y: batched_gemm(x, y, out_dtype=dtype),
             (a, bm), carrier=1, iters=iters, reps=reps,
         )
-        out["gemm_ms"] = t.ms
-        out["gemm_tflops"] = flops / (t.ms * 1e9) if t.ms > 0 else math.nan
+        t_bat = time_kernel(
+            lambda x, y: batched_gemm(x, y, out_dtype=dtype, fold=False),
+            (a, bm), carrier=1, iters=iters, reps=reps,
+        )
+        best = min(
+            (t for t in (t_fold, t_bat) if t.ms > 0),
+            key=lambda t: t.ms, default=t_fold,
+        )
+        out["gemm_ms"] = best.ms
+        out["gemm_tflops"] = (
+            flops / (best.ms * 1e9) if best.ms > 0 else math.nan
+        )
 
     pruned = None
     if "prune" in kernels or "spmm24" in kernels:

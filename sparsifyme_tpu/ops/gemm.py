@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 @functools.partial(
     jax.jit,
-    static_argnames=("transpose_a", "transpose_b", "out_dtype"),
+    static_argnames=("transpose_a", "transpose_b", "out_dtype", "fold"),
 )
 def batched_gemm(
     a: jax.Array,
@@ -40,6 +40,7 @@ def batched_gemm(
     beta: float = 0.0,
     c: Optional[jax.Array] = None,
     out_dtype=None,
+    fold: bool = True,
 ) -> jax.Array:
     """``C = alpha * op(A) @ op(B) + beta * C`` over leading batch dims.
 
@@ -53,10 +54,12 @@ def batched_gemm(
     if transpose_b:
         b = jnp.swapaxes(b, -1, -2)
     out_dtype = out_dtype or jnp.promote_types(a.dtype, b.dtype)
-    if b.ndim == 2 and a.ndim > 2:
+    if fold and b.ndim == 2 and a.ndim > 2:
         # Shared-B batches fold into one fat matmul (free reshapes):
         # batch-of-thin matmuls underfill the MXU and refetch B per
-        # batch element; this is the strongest form of the baseline.
+        # batch element. XLA's batched path occasionally wins on
+        # tall-skinny products, so ``fold=False`` keeps it reachable
+        # (the bench takes the best of both as the dense baseline).
         lead = a.shape[:-2]
         out = jnp.matmul(
             a.reshape(-1, a.shape[-1]), b,

@@ -45,7 +45,9 @@ def _beat_count(a: jax.Array, pos: jax.Array, m: int, axis: int,
 
 def _prune_kernel(x_ref, out_ref, mask_ref, *, n: int, m: int):
     x = x_ref[...]
-    a = jnp.abs(x)
+    # Mosaic's rotate only handles 32-bit element types — rank in f32
+    # (exact for bf16/f16 inputs; |x| comparisons are order-preserving).
+    a = jnp.abs(x).astype(jnp.float32)
     pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % m
 
     def lane_roll(v, s):  # pltpu.roll needs s >= 0; jnp.roll semantics
@@ -114,7 +116,8 @@ def _compress_kernel(xt_ref, v0_ref, v1_ref, codes_ref):
     """Input: k-major dense tile [bk (sublanes, groups of 4), bm].
     Outputs: planes [bk//4, bm]."""
     x = xt_ref[...]
-    a = jnp.abs(x)
+    # 32-bit ranks/flags: Mosaic's rotate only handles 32-bit elements.
+    a = jnp.abs(x).astype(jnp.float32)
     pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) % 4
 
     def sub_roll(v, s):  # pltpu.roll needs s >= 0; jnp.roll semantics
@@ -122,15 +125,17 @@ def _compress_kernel(xt_ref, v0_ref, v1_ref, codes_ref):
 
     cnt = _beat_count(a, pos, 4, 0, sub_roll)
     keep = cnt < 2
+    keep32 = keep.astype(jnp.int32)
     # Slot assignment: first/second kept member by position.
     kept_before = jnp.zeros(x.shape, jnp.int32)
     for s in range(1, 4):
-        kf = sub_roll(keep, -s)
-        kb = sub_roll(keep, 4 - s)
+        kf = sub_roll(keep32, -s)
+        kb = sub_roll(keep32, 4 - s)
         wraps = pos + s >= 4
         pk = jnp.where(wraps, kb, kf)
         ppos = jnp.where(wraps, pos + s - 4, pos + s)
-        kept_before = kept_before + (pk & (ppos < pos)).astype(jnp.int32)
+        kept_before = kept_before + jnp.where(
+            (pk == 1) & (ppos < pos), 1, 0)
     is0 = keep & (kept_before == 0)
     is1 = keep & (kept_before == 1)
 
