@@ -73,16 +73,25 @@ def prune_nm_pallas(
         interpret = default_interpret()
     *lead, k = w.shape
     w2 = w.reshape(-1, k)
+    # Small-k inputs fold rows into lanes (free reshape) so the
+    # 128-lane tile quantum doesn't double the traffic: k=64 would
+    # otherwise pad every row 2x. Safe whenever k % m == 0 (group
+    # boundaries stay inside each original row).
+    if k % m == 0 and k < 128 and 128 % k == 0:
+        f = 128 // k
+        if w2.shape[0] % f == 0:
+            w2 = w2.reshape(-1, 128)
     rows = w2.shape[0]
-    kp = _round_up(k, max(m, 1))
+    kf = w2.shape[1]
+    kp = _round_up(kf, max(m, 1))
     # Lane-dim tile must be a multiple of both the group size and 128;
     # pad k so group boundaries never straddle a tile edge.
     bk = min(_round_up(kp, 128), 2048)
     kpp = _round_up(kp, bk)
     bm = min(_round_up(rows, 8), 1024)
     rp = _round_up(rows, bm)
-    if kpp != k or rp != rows:
-        w2 = jnp.pad(w2, ((0, rp - rows), (0, kpp - k)))
+    if kpp != kf or rp != rows:
+        w2 = jnp.pad(w2, ((0, rp - rows), (0, kpp - kf)))
 
     grid = (rp // bm, kpp // bk)
     out, mask = pl.pallas_call(
@@ -107,8 +116,8 @@ def prune_nm_pallas(
         ),
         interpret=interpret,
     )(w2)
-    out = out[:rows, :k].reshape(*lead, k)
-    mask = mask[:rows, :k].reshape(*lead, k)
+    out = out[:rows, :kf].reshape(*lead, k)
+    mask = mask[:rows, :kf].reshape(*lead, k)
     return out, mask
 
 
@@ -139,14 +148,29 @@ def _compress_kernel(xt_ref, v0_ref, v1_ref, codes_ref):
     is0 = keep & (kept_before == 0)
     is1 = keep & (kept_before == 1)
 
-    def gsum(v):  # stride-4 sublane slices + 3 adds
-        return v[0::4] + v[1::4] + v[2::4] + v[3::4]
+    # Group compaction [bk, bm] -> [bk//4, bm] runs on the MXU: a tiny
+    # selection matrix S (S[g, 4g+j] = 1) contracts the group axis.
+    # Mosaic has no strided vector slices (stride must be 1), and rolls
+    # can't compact — but the MXU is idle in this kernel, and S @ x is
+    # exact for these 0/1 weights.
+    bk = x.shape[0]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (bk // 4, bk), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (bk // 4, bk), 1)
+    sel = (cc // 4 == rr).astype(jnp.float32)
 
-    zero = jnp.zeros((), x.dtype)
-    v0_ref[...] = gsum(jnp.where(is0, x, zero))
-    v1_ref[...] = gsum(jnp.where(is1, x, zero))
-    i0 = gsum(jnp.where(is0, pos, 0))
-    i1 = gsum(jnp.where(is1, pos, 0))
+    def gsum(v):
+        return jax.lax.dot_general(
+            sel, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    zero = jnp.zeros((), jnp.float32)
+    xf = x.astype(jnp.float32)
+    v0_ref[...] = gsum(jnp.where(is0, xf, zero)).astype(v0_ref.dtype)
+    v1_ref[...] = gsum(jnp.where(is1, xf, zero)).astype(v1_ref.dtype)
+    posf = pos.astype(jnp.float32)
+    i0 = gsum(jnp.where(is0, posf, zero))
+    i1 = gsum(jnp.where(is1, posf, zero))
     codes_ref[...] = (i0 * 4 + i1).astype(jnp.uint8)
 
 
