@@ -59,10 +59,12 @@ def _prune_kernel(x_ref, out_ref, mask_ref, *, n: int, m: int):
     mask_ref[...] = keep.astype(mask_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n", "m", "interpret",
+                                              "block_rows"))
 def prune_nm_pallas(
     w: jax.Array, n: int = 2, m: int = 4,
     interpret: Optional[bool] = None,
+    block_rows: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """N:M magnitude prune along the last axis -> (pruned, mask).
 
@@ -73,14 +75,6 @@ def prune_nm_pallas(
         interpret = default_interpret()
     *lead, k = w.shape
     w2 = w.reshape(-1, k)
-    # Small-k inputs fold rows into lanes (free reshape) so the
-    # 128-lane tile quantum doesn't double the traffic: k=64 would
-    # otherwise pad every row 2x. Safe whenever k % m == 0 (group
-    # boundaries stay inside each original row).
-    if k % m == 0 and k < 128 and 128 % k == 0:
-        f = 128 // k
-        if w2.shape[0] % f == 0:
-            w2 = w2.reshape(-1, 128)
     rows = w2.shape[0]
     kf = w2.shape[1]
     kp = _round_up(kf, max(m, 1))
@@ -88,7 +82,7 @@ def prune_nm_pallas(
     # pad k so group boundaries never straddle a tile edge.
     bk = min(_round_up(kp, 128), 2048)
     kpp = _round_up(kp, bk)
-    bm = min(_round_up(rows, 8), 1024)
+    bm = block_rows or min(_round_up(rows, 8), 2048)
     rp = _round_up(rows, bm)
     if kpp != kf or rp != rows:
         w2 = jnp.pad(w2, ((0, rp - rows), (0, kpp - kf)))
@@ -171,7 +165,8 @@ def _compress_kernel(xt_ref, v0_ref, v1_ref, codes_ref):
     posf = pos.astype(jnp.float32)
     i0 = gsum(jnp.where(is0, posf, zero))
     i1 = gsum(jnp.where(is1, posf, zero))
-    codes_ref[...] = (i0 * 4 + i1).astype(jnp.uint8)
+    # Mosaic has no f32->uint8 cast; hop through int32.
+    codes_ref[...] = (i0 * 4 + i1).astype(jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
