@@ -82,7 +82,13 @@ def prune_nm_pallas(
     # pad k so group boundaries never straddle a tile edge.
     bk = min(_round_up(kp, 128), 2048)
     kpp = _round_up(kp, bk)
-    bm = block_rows or min(_round_up(rows, 8), 2048)
+    if block_rows:
+        bm = block_rows
+    else:
+        # Scoped VMEM for a pallas call is 16 MB; x/out/mask tiles plus
+        # ~2 f32 temps cost ~12 B/elem. Budget 8 MB, prefer fat rows.
+        cap = max(8, (8 * 1024 * 1024 // (12 * bk)) // 8 * 8)
+        bm = min(_round_up(rows, 8), 2048, cap)
     rp = _round_up(rows, bm)
     if kpp != kf or rp != rows:
         w2 = jnp.pad(w2, ((0, rp - rows), (0, kpp - kf)))
@@ -185,9 +191,12 @@ def compress_24_pallas(
     kp, mm = wt.shape
     if kp % 4:
         raise ValueError(f"k {kp} not a multiple of 4")
-    bk = min(_round_up(kp, 32), 2048)   # sublane tiles, group-aligned
+    bk = min(_round_up(kp, 32), 1024)   # sublane tiles, group-aligned
     kpp = _round_up(kp, bk)
-    bm = min(_round_up(mm, 128), 1024)
+    # Scoped VMEM is 16 MB; input tile + plane tiles + f32 temps cost
+    # ~16 B per input element. Budget 8 MB.
+    cap = max(128, (8 * 1024 * 1024 // (16 * bk)) // 128 * 128)
+    bm = min(_round_up(mm, 128), 1024, cap)
     mp = _round_up(mm, bm)
     if kpp != kp or mp != mm:
         wt = jnp.pad(wt, ((0, kpp - kp), (0, mp - mm)))

@@ -36,7 +36,7 @@ steady-state device throughput, which is what production serving sees.
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, NamedTuple
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -202,6 +202,7 @@ def time_kernel(
     carrier: int = 0,
     iters: int = 16,
     reps: int = 3,
+    replicas: Optional[int] = None,
 ) -> Timing:
     """Time ``fn(*operands)`` with the correct chained-loop structure.
 
@@ -211,21 +212,47 @@ def time_kernel(
     ``carrier`` is barrier-coupled to the previous output (defeats
     loop-invariant hoisting). Pick a small operand as the carrier; the
     barrier itself moves no data.
+
+    ``replicas``: number of independent problem copies cycled per
+    iteration. Small working sets otherwise live entirely in VMEM
+    across loop iterations (measured: a 102 MB/iter matmul at an
+    implied 1.76 TB/s on 0.82 TB/s HBM), which flatters XLA ops vs
+    custom-call kernels whose operands always stream from HBM. Sized
+    automatically so the cycled footprint exceeds VMEM; reported time
+    is per single kernel call.
     """
+    shapes = jax.eval_shape(fn, *operands)
     # Zero-filled output as the initial carried value: only its shape
     # matters (it feeds a barrier), and eval_shape avoids paying a
     # remote compile for a throwaway executable.
-    out0 = jax.tree.map(
-        lambda sd: jnp.zeros(sd.shape, sd.dtype),
-        jax.eval_shape(fn, *operands),
-    )
+    mk_out = lambda: jax.tree.map(
+        lambda sd: jnp.zeros(sd.shape, sd.dtype), shapes)
+    if replicas is None:
+        nbytes = sum(
+            x.size * x.dtype.itemsize
+            for x in jax.tree.leaves(operands) + jax.tree.leaves(shapes)
+        )
+        # ~128 MB VMEM upper bound across TPU generations; 2x margin.
+        replicas = max(1, min(4, -(-256 * 1024 * 1024 // max(nbytes, 1))))
+    reps_sets = [
+        tuple(jax.tree.map(jnp.copy, op) for op in operands)
+        for _ in range(replicas)
+    ]
 
     def step(state):
-        ops, prev = state
-        ops = list(ops)
-        ops[carrier] = chain(ops[carrier], prev)
-        out = fn(*ops)
-        return (tuple(ops), out)
+        sets, outs = state
+        new_sets, new_outs = [], []
+        for ops, prev in zip(sets, outs):
+            ops = list(ops)
+            ops[carrier] = chain(ops[carrier], prev)
+            new_outs.append(fn(*ops))
+            new_sets.append(tuple(ops))
+        return (tuple(new_sets), tuple(new_outs))
 
-    return time_chained(step, (tuple(operands), out0), iters=iters,
-                        reps=reps)
+    t = time_chained(
+        step,
+        (tuple(reps_sets), tuple(mk_out() for _ in range(replicas))),
+        iters=iters, reps=reps,
+    )
+    return Timing(ms=t.ms / replicas, ms_min=t.ms_min / replicas,
+                  iters=t.iters, reps=t.reps)
