@@ -85,9 +85,10 @@ def prune_nm_pallas(
     if block_rows:
         bm = block_rows
     else:
-        # Scoped VMEM for a pallas call is 16 MB; x/out/mask tiles plus
-        # ~2 f32 temps cost ~12 B/elem. Budget 8 MB, prefer fat rows.
-        cap = max(8, (8 * 1024 * 1024 // (12 * bk)) // 8 * 8)
+        # Scoped VMEM for a pallas call is 16 MB; measured footprint is
+        # ~26 B per tile element (x/out/mask + f32 rank temps + rolls).
+        # Budget 7 MB, prefer fat rows.
+        cap = max(8, (7 * 1024 * 1024 // (26 * bk)) // 8 * 8)
         bm = min(_round_up(rows, 8), 2048, cap)
     rp = _round_up(rows, bm)
     if kpp != kf or rp != rows:

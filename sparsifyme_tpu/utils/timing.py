@@ -232,8 +232,9 @@ def time_kernel(
             x.size * x.dtype.itemsize
             for x in jax.tree.leaves(operands) + jax.tree.leaves(shapes)
         )
-        # ~128 MB VMEM upper bound across TPU generations; 2x margin.
-        replicas = max(1, min(4, -(-256 * 1024 * 1024 // max(nbytes, 1))))
+        # ~128 MB VMEM upper bound across TPU generations; 4x margin
+        # (2x still showed above-HBM rates on ~100 MB working sets).
+        replicas = max(1, min(6, -(-512 * 1024 * 1024 // max(nbytes, 1))))
     reps_sets = [
         tuple(jax.tree.map(jnp.copy, op) for op in operands)
         for _ in range(replicas)
