@@ -77,29 +77,82 @@ def _expand(v0_ref, v1_ref, codes_ref, bk4):
     return jnp.where(ir0 == q, vr0, zero) + jnp.where(ir1 == q, vr1, zero)
 
 
+def _chunked_matmul(af_parts, b_ref, bk4):
+    """Partial dots per expanded chunk — independent VPU expand / MXU
+    push pairs give Mosaic room to overlap the units."""
+    acc = None
+    for ci, af in enumerate(af_parts):
+        lo = ci * af.shape[0]
+        part = jax.lax.dot_general(
+            af, b_ref[lo:lo + af.shape[0], :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _expand_chunks(v0_ref, v1_ref, codes_ref, bk4, chunks):
+    """Expand as `chunks` independent quarter-major slabs (each covers
+    4/chunks quarters of the k-tile)."""
+    if chunks == 1:
+        return [_expand(v0_ref, v1_ref, codes_ref, bk4)]
+    codes = codes_ref[...].astype(jnp.int32)
+    i0 = codes >> 2
+    i1 = codes & 3
+    v0 = v0_ref[...]
+    v1 = v1_ref[...]
+    zero = jnp.zeros((), v0.dtype)
+    qper = 4 // chunks
+    parts = []
+    for c in range(chunks):
+        vr0 = pltpu.repeat(v0, qper, 0)
+        vr1 = pltpu.repeat(v1, qper, 0)
+        ir0 = pltpu.repeat(i0, qper, 0)
+        ir1 = pltpu.repeat(i1, qper, 0)
+        q = (jax.lax.broadcasted_iota(jnp.int32, vr0.shape, 0) // bk4
+             + c * qper)
+        parts.append(
+            jnp.where(ir0 == q, vr0, zero) + jnp.where(ir1 == q, vr1, zero)
+        )
+    return parts
+
+
 def _kernel_acc(v0_ref, v1_ref, codes_ref, b_ref, out_ref, acc_ref, *,
-                n_k: int, bk4: int):
+                n_k: int, bk4: int, chunks: int):
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _zero():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    af = _expand(v0_ref, v1_ref, codes_ref, bk4)
-    acc_ref[...] += jax.lax.dot_general(
-        af, b_ref[...], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    parts = _expand_chunks(v0_ref, v1_ref, codes_ref, bk4, chunks)
+    acc_ref[...] += _chunked_matmul(parts, b_ref, bk4)
 
     @pl.when(k_idx == n_k - 1)
     def _store():
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
-def _kernel_single(v0_ref, v1_ref, codes_ref, b_ref, out_ref, *, bk4: int):
-    af = _expand(v0_ref, v1_ref, codes_ref, bk4)
+def _kernel_single(v0_ref, v1_ref, codes_ref, b_ref, out_ref, *,
+                   bk4: int, chunks: int):
+    parts = _expand_chunks(v0_ref, v1_ref, codes_ref, bk4, chunks)
+    out_ref[...] = _chunked_matmul(parts, b_ref, bk4).astype(out_ref.dtype)
+
+
+def _kernel_single_cached(v0_ref, v1_ref, codes_ref, b_ref, out_ref,
+                          af_ref, *, bk4: int, chunks: int):
+    """Single k-step, several n-tiles: expand once per m-tile into VMEM
+    scratch at the first n-tile, reuse it for the rest — the VPU
+    decompress cost stops scaling with n."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _fill():
+        parts = _expand_chunks(v0_ref, v1_ref, codes_ref, bk4, chunks)
+        af_ref[...] = jax.lax.concatenate(parts, 0)
+
     out_ref[...] = jax.lax.dot_general(
-        af, b_ref[...], (((0,), (0,)), ((), ())),
+        af_ref[...], b_ref[...], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(out_ref.dtype)
 
@@ -239,13 +292,28 @@ def spmm24_pallas(
         ),
         interpret=interpret,
     )
-    if n_k == 1:
+    chunks = 2 if bk4 >= 64 else 1
+    if n_k == 1 and np_ // bn > 1:
+        # Scratch reuse needs the n axis sequential (j scans within a
+        # fixed m-tile; the expand fills at j == 0).
+        common["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        )
         out = pl.pallas_call(
-            functools.partial(_kernel_single, bk4=bk4), **common
+            functools.partial(_kernel_single_cached, bk4=bk4,
+                              chunks=chunks),
+            scratch_shapes=[pltpu.VMEM((4 * bk4, bm), v0.dtype)],
+            **common,
+        )(v0, v1, codes, b)
+    elif n_k == 1:
+        out = pl.pallas_call(
+            functools.partial(_kernel_single, bk4=bk4, chunks=chunks),
+            **common,
         )(v0, v1, codes, b)
     else:
         out = pl.pallas_call(
-            functools.partial(_kernel_acc, n_k=n_k, bk4=bk4),
+            functools.partial(_kernel_acc, n_k=n_k, bk4=bk4,
+                              chunks=chunks),
             scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
             **common,
         )(v0, v1, codes, b)
