@@ -60,11 +60,12 @@ def _prune_kernel(x_ref, out_ref, mask_ref, *, n: int, m: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "m", "interpret",
-                                              "block_rows"))
+                                              "block_rows", "block_k"))
 def prune_nm_pallas(
     w: jax.Array, n: int = 2, m: int = 4,
     interpret: Optional[bool] = None,
     block_rows: Optional[int] = None,
+    block_k: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """N:M magnitude prune along the last axis -> (pruned, mask).
 
@@ -80,7 +81,7 @@ def prune_nm_pallas(
     kp = _round_up(kf, max(m, 1))
     # Lane-dim tile must be a multiple of both the group size and 128;
     # pad k so group boundaries never straddle a tile edge.
-    bk = min(_round_up(kp, 128), 2048)
+    bk = block_k or min(_round_up(kp, 128), 2048)
     kpp = _round_up(kp, bk)
     if block_rows:
         bm = block_rows

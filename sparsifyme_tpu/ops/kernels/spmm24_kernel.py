@@ -157,7 +157,7 @@ def _kernel_single_cached(v0_ref, v1_ref, codes_ref, b_ref, out_ref,
     ).astype(out_ref.dtype)
 
 
-def _pick_tiles(m, n, k4, dtype_bytes=2, vmem_budget=12 * 1024 * 1024):
+def _pick_tiles(m, n, k4, dtype_bytes=2, vmem_budget=10 * 1024 * 1024):
     """(bm, bn, bk4): fat tiles under a VMEM budget.
 
     Preference order: single k-step (bk4 = k4 rounded to 16, up to 256)
@@ -292,7 +292,7 @@ def spmm24_pallas(
         ),
         interpret=interpret,
     )
-    chunks = 2 if bk4 >= 64 else 1
+    chunks = 1  # measured: 2-chunk overlap regressed (0.94x -> 0.83x)
     if n_k == 1 and np_ // bn > 1:
         # Scratch reuse needs the n axis sequential (j scans within a
         # fixed m-tile; the expand fills at j == 0).
