@@ -81,7 +81,9 @@ def prune_nm_pallas(
     kp = _round_up(kf, max(m, 1))
     # Lane-dim tile must be a multiple of both the group size and 128;
     # pad k so group boundaries never straddle a tile edge.
-    bk = block_k or min(_round_up(kp, 128), 2048)
+    # 128-lane tiles: rotates within one vreg lane-width measured
+    # fastest (338 GB/s vs 152 GB/s at 256 lanes).
+    bk = block_k or 128
     kpp = _round_up(kp, bk)
     if block_rows:
         bm = block_rows
@@ -154,25 +156,29 @@ def _compress_kernel(xt_ref, v0_ref, v1_ref, codes_ref):
     # selection matrix S (S[g, 4g+j] = 1) contracts the group axis.
     # Mosaic has no strided vector slices (stride must be 1), and rolls
     # can't compact — but the MXU is idle in this kernel, and S @ x is
-    # exact for these 0/1 weights.
+    # exact for these 0/1 weights. The contraction costs bk/4 MACs per
+    # element, so tiles are kept SHORT (bk=64 default) and the matmul
+    # runs in the value dtype when it is exact to do so (one nonzero
+    # per group row: no accumulation rounding; f32 values keep f32).
     bk = x.shape[0]
     rr = jax.lax.broadcasted_iota(jnp.int32, (bk // 4, bk), 0)
     cc = jax.lax.broadcasted_iota(jnp.int32, (bk // 4, bk), 1)
-    sel = (cc // 4 == rr).astype(jnp.float32)
+    mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    sel = (cc // 4 == rr).astype(mm_dtype)
 
     def gsum(v):
         return jax.lax.dot_general(
-            sel, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            sel, v.astype(mm_dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-    zero = jnp.zeros((), jnp.float32)
-    xf = x.astype(jnp.float32)
-    v0_ref[...] = gsum(jnp.where(is0, xf, zero)).astype(v0_ref.dtype)
-    v1_ref[...] = gsum(jnp.where(is1, xf, zero)).astype(v1_ref.dtype)
-    posf = pos.astype(jnp.float32)
-    i0 = gsum(jnp.where(is0, posf, zero))
-    i1 = gsum(jnp.where(is1, posf, zero))
+    zero = jnp.zeros((), x.dtype)
+    v0_ref[...] = gsum(jnp.where(is0, x, zero)).astype(v0_ref.dtype)
+    v1_ref[...] = gsum(jnp.where(is1, x, zero)).astype(v1_ref.dtype)
+    posf = pos.astype(mm_dtype)
+    zf = jnp.zeros((), mm_dtype)
+    i0 = gsum(jnp.where(is0, posf, zf))
+    i1 = gsum(jnp.where(is1, posf, zf))
     # Mosaic has no f32->uint8 cast; hop through int32.
     codes_ref[...] = (i0 * 4 + i1).astype(jnp.int32).astype(jnp.uint8)
 
@@ -193,7 +199,7 @@ def compress_24_pallas(
     kp, mm = wt.shape
     if kp % 4:
         raise ValueError(f"k {kp} not a multiple of 4")
-    bk = min(_round_up(kp, 32), 1024)   # sublane tiles, group-aligned
+    bk = min(_round_up(kp, 32), 64)     # short tiles: gsum is O(bk/4)/elem
     kpp = _round_up(kp, bk)
     # Scoped VMEM is 16 MB; input tile + plane tiles + f32 temps cost
     # ~16 B per input element. Budget 8 MB.
