@@ -137,8 +137,9 @@ def _compress_kernel(xt_ref, v0_ref, v1_ref, codes_ref):
         return pltpu.roll(v, s % v.shape[0], 0)
 
     cnt = _beat_count(a, pos, 4, 0, sub_roll)
-    keep = cnt < 2
-    keep32 = keep.astype(jnp.int32)
+    # All mask algebra in int32: Mosaic mis-lays-out i1&i1 on short
+    # tiles ("Invalid relayout ... vector<...xi1>").
+    keep32 = jnp.where(cnt < 2, 1, 0)
     # Slot assignment: first/second kept member by position.
     kept_before = jnp.zeros(x.shape, jnp.int32)
     for s in range(1, 4):
@@ -147,10 +148,12 @@ def _compress_kernel(xt_ref, v0_ref, v1_ref, codes_ref):
         wraps = pos + s >= 4
         pk = jnp.where(wraps, kb, kf)
         ppos = jnp.where(wraps, pos + s - 4, pos + s)
-        kept_before = kept_before + jnp.where(
-            (pk == 1) & (ppos < pos), 1, 0)
-    is0 = keep & (kept_before == 0)
-    is1 = keep & (kept_before == 1)
+        kept_before = kept_before + pk * jnp.where(ppos < pos, 1, 0)
+    m0 = keep32 * (1 - jnp.minimum(kept_before, 1))          # slot 0
+    m1 = keep32 * jnp.minimum(kept_before, 1) * jnp.where(
+        kept_before < 2, 1, 0)                               # slot 1
+    is0 = m0 == 1
+    is1 = m1 == 1
 
     # Group compaction [bk, bm] -> [bk//4, bm] runs on the MXU: a tiny
     # selection matrix S (S[g, 4g+j] = 1) contracts the group axis.
