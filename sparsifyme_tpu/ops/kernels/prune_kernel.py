@@ -202,7 +202,9 @@ def compress_24_pallas(
     kp, mm = wt.shape
     if kp % 4:
         raise ValueError(f"k {kp} not a multiple of 4")
-    bk = min(_round_up(kp, 32), 64)     # short tiles: gsum is O(bk/4)/elem
+    # 128-sublane tiles: gsum costs bk/4 MACs per element (keep bk
+    # short), but 64-sublane tiles trigger a Mosaic i1-relayout bug.
+    bk = min(_round_up(kp, 32), 128)
     kpp = _round_up(kp, bk)
     # Scoped VMEM is 16 MB; input tile + plane tiles + f32 temps cost
     # ~16 B per input element. Budget 8 MB.
