@@ -152,8 +152,6 @@ def _compress_kernel(xt_ref, v0_ref, v1_ref, codes_ref):
     m0 = keep32 * (1 - jnp.minimum(kept_before, 1))          # slot 0
     m1 = keep32 * jnp.minimum(kept_before, 1) * jnp.where(
         kept_before < 2, 1, 0)                               # slot 1
-    is0 = m0 == 1
-    is1 = m1 == 1
 
     # Group compaction [bk, bm] -> [bk//4, bm] runs on the MXU: a tiny
     # selection matrix S (S[g, 4g+j] = 1) contracts the group axis.
@@ -175,13 +173,14 @@ def _compress_kernel(xt_ref, v0_ref, v1_ref, codes_ref):
             preferred_element_type=jnp.float32,
         )
 
-    zero = jnp.zeros((), x.dtype)
-    v0_ref[...] = gsum(jnp.where(is0, x, zero)).astype(v0_ref.dtype)
-    v1_ref[...] = gsum(jnp.where(is1, x, zero)).astype(v1_ref.dtype)
+    # Mask by multiplication (0/1 int masks cast to the value dtype):
+    # scalar-broadcast comparisons produce replicated i1 layouts Mosaic
+    # cannot relayout ("Invalid relayout ... vector<...xi1>").
+    v0_ref[...] = gsum(x * m0.astype(x.dtype)).astype(v0_ref.dtype)
+    v1_ref[...] = gsum(x * m1.astype(x.dtype)).astype(v1_ref.dtype)
     posf = pos.astype(mm_dtype)
-    zf = jnp.zeros((), mm_dtype)
-    i0 = gsum(jnp.where(is0, posf, zf))
-    i1 = gsum(jnp.where(is1, posf, zf))
+    i0 = gsum(posf * m0.astype(mm_dtype))
+    i1 = gsum(posf * m1.astype(mm_dtype))
     # Mosaic has no f32->uint8 cast; hop through int32.
     codes_ref[...] = (i0 * 4 + i1).astype(jnp.int32).astype(jnp.uint8)
 
