@@ -203,7 +203,7 @@ def compress_24_pallas(
         raise ValueError(f"k {kp} not a multiple of 4")
     # 128-sublane tiles: gsum costs bk/4 MACs per element (keep bk
     # short), but 64-sublane tiles trigger a Mosaic i1-relayout bug.
-    bk = min(_round_up(kp, 32), 128)
+    bk = min(_round_up(kp, 32), 256)
     kpp = _round_up(kp, bk)
     # Scoped VMEM is 16 MB; input tile + plane tiles + f32 temps cost
     # ~16 B per input element. Budget 8 MB.

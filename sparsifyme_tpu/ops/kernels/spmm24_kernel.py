@@ -172,10 +172,15 @@ def _pick_tiles(m, n, k4, dtype_bytes=2, vmem_budget=10 * 1024 * 1024):
             range(64, 257, 16),
             key=lambda c: (_round_up(k4, c), _cdiv(k4, c)),
         )
+    # m-tile: fat for small-n (per-step fixed costs dominate the
+    # bandwidth-bound regime), small for big-n (measured: bm=512 beats
+    # bm=2048 2x on n>=1024 shapes — better MXU pipelining).
+    bm_pref = (2048, 1536, 1024, 512, 256, 128) if n <= 128 else (
+        512, 256, 128)
     # VMEM per grid step (double-buffered ins/outs):
     #   planes 5*bk4*bm, B 4*bk4*bn*2, out bm*bn*2, acc bm*bn*4,
     #   expanded A^T 4*bk4*bm*2 (register/VMEM temp).
-    for bm in (2048, 1536, 1024, 512, 256, 128):
+    for bm in bm_pref:
         if bm > _round_up(m, 128):
             continue
         need = (
