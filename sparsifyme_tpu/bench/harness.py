@@ -157,14 +157,19 @@ def bench_shape(
 
     if "ell" in kernels:
         _mark("ell")
-        bs = 128
-        kp = _round_up(k, 2 * bs)
+        # Rectangular blocks: rows stay MXU-wide (128) while the k-edge
+        # shrinks to 32, so even k=64 layers carry true 50% block
+        # sparsity instead of being padded dense (a square-128 block
+        # needs k >= 256 before sparsity is expressible).
+        bs, bkb = 128, 32
+        kp = _round_up(k, 2 * bkb)
         mp = _round_up(m, bs)
-        ell_blocks = max(1, (kp // bs) // 2)  # 50% block sparsity
+        ell_blocks = max(1, (kp // bkb) // 2)  # 50% block sparsity
         ap = jnp.pad(a, ((0, 0), (0, mp - m), (0, kp - k)))
         bp = jnp.pad(bm, ((0, kp - k), (0, 0)))
         e = jax.jit(
-            lambda x: ell_from_dense(x, block_size=bs, ell_blocks=ell_blocks)
+            lambda x: ell_from_dense(x, block_size=bs,
+                                     ell_blocks=ell_blocks, block_k=bkb)
         )(ap)
 
         t = time_kernel(

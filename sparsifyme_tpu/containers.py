@@ -110,24 +110,37 @@ class Sparse24:
 class BlockedEll:
     """Blocked-ELL matrix: ``ell_blocks`` kept dense blocks per block-row.
 
-    Logical dense shape ``(..., m, k)`` with square blocks of ``block_size``;
-    ``m_blocks = m / block_size`` block-rows each keep ``ell_blocks`` blocks.
+    Logical dense shape ``(..., m, k)`` with ``block_size x block_k``
+    blocks (the reference's `ell_t` is square, `containers/ell.hxx:23-33`;
+    rectangular blocks are this library's extension — rows stay MXU-wide
+    at 128 while the k-edge shrinks so small-k layers still get real
+    block sparsity); ``m_blocks = m / block_size`` block-rows each keep
+    ``ell_blocks`` blocks.
 
     Fields:
-      values:      ``(..., m, ell_blocks * block_size)`` — kept blocks packed
+      values:      ``(..., m, ell_blocks * block_k)`` — kept blocks packed
                    contiguously along the column axis (row-major within a
                    block-row), i.e. the reference's `ell_t.values`
                    (`containers/ell.hxx:31-33`) laid out 2-D for the MXU.
       col_indices: ``(..., m_blocks, ell_blocks)`` int32 — block-column of
-                   each kept block (`ell_t.column_indices`).
+                   each kept block (`ell_t.column_indices`), in units of
+                   ``block_k``-wide column blocks.
       shape:       logical dense shape.
-      block_size:  static block edge (MXU-friendly: >= 8).
+      block_size:  static block row-edge (MXU-friendly: >= 8).
+      block_k:     static block column-edge; 0 means square
+                   (= block_size).
     """
 
     values: jax.Array
     col_indices: jax.Array
     shape: Tuple[int, ...] = static_field(default=())
     block_size: int = static_field(default=128)
+    block_k: int = static_field(default=0)
+
+    @property
+    def bk(self) -> int:
+        """Effective block column-edge."""
+        return self.block_k or self.block_size
 
     @property
     def dtype(self):
@@ -143,7 +156,7 @@ class BlockedEll:
 
     @property
     def k_blocks(self) -> int:
-        return self.shape[-1] // self.block_size
+        return self.shape[-1] // self.bk
 
     @property
     def nnz(self) -> int:

@@ -21,41 +21,46 @@ from .prune import prune_block_topk
 
 
 def ell_from_dense(
-    w: jax.Array, block_size: int, ell_blocks: int
+    w: jax.Array, block_size: int, ell_blocks: int, block_k: int = 0
 ) -> BlockedEll:
     """Prune to top-``ell_blocks`` blocks per block-row and pack.
 
     The TPU equivalent of constructing an `ell_t` from a pruned weight
     matrix (driver pattern at `examples/spmm.cu:42-113`): block selection
     is magnitude-based (Frobenius norm), indices sorted ascending.
+    ``block_k`` (default square) narrows the block column-edge so
+    small-k layers still carry real block sparsity.
     """
-    pruned, cols = prune_block_topk(w, block_size, ell_blocks)
-    values = ell_pack(pruned, cols, block_size)
+    pruned, cols = prune_block_topk(w, block_size, ell_blocks, block_k)
+    values = ell_pack(pruned, cols, block_size, block_k)
     return BlockedEll(
         values=values,
         col_indices=cols,
         shape=w.shape,
         block_size=block_size,
+        block_k=block_k,
     )
 
 
 def ell_pack(
-    w: jax.Array, col_indices: jax.Array, block_size: int
+    w: jax.Array, col_indices: jax.Array, block_size: int,
+    block_k: int = 0,
 ) -> jax.Array:
     """Gather the kept blocks of ``w`` into packed ELL values.
 
     ``w``: ``(..., m, k)``; ``col_indices``: ``(..., m_blocks, ell)``.
-    Returns ``(..., m, ell*block_size)``.
+    Returns ``(..., m, ell*block_k)``.
     """
     *lead, m, k = w.shape
     bs = block_size
-    mb, kb = m // bs, k // bs
+    bkb = block_k or bs
+    mb, kb = m // bs, k // bkb
     ell = col_indices.shape[-1]
-    blocks = w.reshape(*lead, mb, bs, kb, bs)
+    blocks = w.reshape(*lead, mb, bs, kb, bkb)
     idx = col_indices[..., :, None, :, None]  # (..., mb, 1, ell, 1)
-    idx = jnp.broadcast_to(idx, (*lead, mb, bs, ell, bs))
+    idx = jnp.broadcast_to(idx, (*lead, mb, bs, ell, bkb))
     packed = jnp.take_along_axis(blocks, idx, axis=-2)
-    return packed.reshape(*lead, m, ell * bs)
+    return packed.reshape(*lead, m, ell * bkb)
 
 
 def ell_to_dense(e: BlockedEll) -> jax.Array:
@@ -63,16 +68,17 @@ def ell_to_dense(e: BlockedEll) -> jax.Array:
     `ell_t::print()` analog, `containers/ell.hxx:52-67`)."""
     *lead, m, k = e.shape
     bs = e.block_size
-    mb, kb = m // bs, k // bs
+    bkb = e.bk
+    mb, kb = m // bs, k // bkb
     ell = e.ell_blocks
-    vals = e.values.reshape(*lead, mb, bs, ell, bs)
+    vals = e.values.reshape(*lead, mb, bs, ell, bkb)
     onehot = (
         e.col_indices[..., :, None, :, None, None]
         == jnp.arange(kb, dtype=jnp.int32)[:, None]
     )  # (..., mb, 1, ell, kb, 1)
     scattered = jnp.sum(
         jnp.where(onehot, vals[..., :, :, :, None, :], 0), axis=-3
-    )  # (..., mb, bs, kb, bs)
+    )  # (..., mb, bs, kb, bkb)
     return scattered.reshape(*lead, m, k)
 
 
@@ -126,6 +132,7 @@ def spmm_ell(
         cols,
         b,
         block_size=e.block_size,
+        block_k=e.block_k,
         out_dtype=out_dtype or jnp.promote_types(e.dtype, b.dtype),
         block_n=block_n,
         interpret=interpret,

@@ -41,7 +41,7 @@ from .spmm24_kernel import _cdiv, _round_up, default_interpret
 
 
 def _kernel(col_ref, val_ref, b_ref, out_ref, *, mblk: int, n_ell: int,
-            bs: int, mb: int):
+            bs: int, bkb: int, mb: int):
     ib = pl.program_id(1)
 
     for r in range(mblk):  # static unroll over the tile's block-rows
@@ -49,8 +49,8 @@ def _kernel(col_ref, val_ref, b_ref, out_ref, *, mblk: int, n_ell: int,
 
         def body(e, acc):
             col = col_ref[row + e]
-            b_slab = b_ref[pl.ds(col * bs, bs), :]
-            a_blk = val_ref[r * bs:(r + 1) * bs, pl.ds(e * bs, bs)]
+            b_slab = b_ref[pl.ds(col * bkb, bkb), :]
+            a_blk = val_ref[r * bs:(r + 1) * bs, pl.ds(e * bkb, bkb)]
             return acc + jnp.dot(
                 a_blk, b_slab, preferred_element_type=jnp.float32
             )
@@ -62,14 +62,16 @@ def _kernel(col_ref, val_ref, b_ref, out_ref, *, mblk: int, n_ell: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "out_dtype", "block_n", "interpret"),
+    static_argnames=("block_size", "block_k", "out_dtype", "block_n",
+                     "interpret"),
 )
 def ell_spmm_pallas(
-    values: jax.Array,       # [M, ell_blocks * bs] (batch folded in rows)
+    values: jax.Array,       # [M, ell_blocks * bkb] (batch folded in rows)
     col_indices: jax.Array,  # [M_blocks, ell_blocks] int32
     b: jax.Array,            # [k, n] shared dense operand
     *,
     block_size: int,
+    block_k: int = 0,
     out_dtype=jnp.bfloat16,
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -78,15 +80,16 @@ def ell_spmm_pallas(
     if interpret is None:
         interpret = default_interpret()
     bs = block_size
+    bkb = block_k or bs
     m, ellk = values.shape
-    n_ell = ellk // bs
+    n_ell = ellk // bkb
     mb = m // bs
     k, n = b.shape
     if col_indices.shape != (mb, n_ell):
         raise ValueError(
             f"col_indices {col_indices.shape} != {(mb, n_ell)}"
         )
-    kp = _round_up(k, bs)
+    kp = _round_up(k, bkb)
     if kp != k:
         b = jnp.pad(b, ((0, kp - k), (0, 0)))
 
@@ -142,7 +145,7 @@ def ell_spmm_pallas(
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, mblk=mblk, n_ell=n_ell, bs=bs, mb=mb
+            _kernel, mblk=mblk, n_ell=n_ell, bs=bs, bkb=bkb, mb=mb
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, np_), out_dtype),

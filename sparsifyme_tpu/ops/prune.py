@@ -183,29 +183,32 @@ def prune_check_24(w: jax.Array) -> jax.Array:
     return prune_check_nm(w, 2, 4)
 
 
-@functools.partial(jax.jit, static_argnames=("block_size", "ell_blocks"))
+@functools.partial(jax.jit, static_argnames=("block_size", "ell_blocks",
+                                              "block_k"))
 def prune_block_topk(
-    w: jax.Array, block_size: int, ell_blocks: int
+    w: jax.Array, block_size: int, ell_blocks: int,
+    block_k: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Keep the top-``ell_blocks`` blocks (by L2 norm) per block-row.
 
     The pruning policy that produces Blocked-ELL structure: for each
-    block-row of ``block_size`` x ``block_size`` blocks, keep the
-    ``ell_blocks`` blocks with the largest Frobenius norm and zero the rest.
-    Returns ``(pruned, block_col_indices)`` where ``block_col_indices`` is
-    ``(..., m_blocks, ell_blocks)`` int32, **sorted ascending** per block-row
-    (the reference driver builds sorted, deduped block columns,
-    `examples/spmm.cu:63-84`).
+    block-row of ``block_size`` x ``block_k`` blocks (``block_k=0`` means
+    square), keep the ``ell_blocks`` blocks with the largest Frobenius
+    norm and zero the rest. Returns ``(pruned, block_col_indices)`` where
+    ``block_col_indices`` is ``(..., m_blocks, ell_blocks)`` int32,
+    **sorted ascending** per block-row (the reference driver builds
+    sorted, deduped block columns, `examples/spmm.cu:63-84`).
     """
     *lead, mm, kk = w.shape
-    if mm % block_size or kk % block_size:
+    bk_blk = block_k or block_size
+    if mm % block_size or kk % bk_blk:
         raise ValueError(
-            f"{mm}x{kk} not divisible by block_size {block_size}"
+            f"{mm}x{kk} not divisible by block {block_size}x{bk_blk}"
         )
-    mb, kb = mm // block_size, kk // block_size
+    mb, kb = mm // block_size, kk // bk_blk
     if ell_blocks > kb:
         raise ValueError(f"ell_blocks {ell_blocks} > k_blocks {kb}")
-    blocks = w.reshape(*lead, mb, block_size, kb, block_size)
+    blocks = w.reshape(*lead, mb, block_size, kb, bk_blk)
     norms = jnp.sum(
         jnp.square(blocks.astype(jnp.float32)), axis=(-3, -1)
     )  # (..., mb, kb)
