@@ -98,9 +98,11 @@ def spmm_ell(
     out_dtype=None,
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
+    transpose_out: bool = False,
 ) -> jax.Array:
     """Batched Blocked-ELL SpMM: ``ell_to_dense(e) @ b`` with zero blocks
-    skipped on the MXU.
+    skipped on the MXU. ``transpose_out`` returns C^T ``[n, M]`` (batch
+    folded in lanes; column-major convention, cheaper for small n).
 
     ``e`` may carry batch dims (the reference's batch of `ell_t`s,
     `spmm.hxx:31`); ``b (k, n)`` is shared across the batch
@@ -118,7 +120,10 @@ def spmm_ell(
     if interpret is None:
         interpret = default_interpret()
     if not interpret and e.block_size % 128 != 0:
-        return spmm_ell_reference(e, b, out_dtype=out_dtype)
+        out = spmm_ell_reference(e, b, out_dtype=out_dtype)
+        if transpose_out:
+            return out.reshape(-1, out.shape[-1]).T
+        return out
 
     *lead, m, k = e.shape
     # Batch folds into rows (free reshapes): B is shared across the
@@ -136,5 +141,8 @@ def spmm_ell(
         out_dtype=out_dtype or jnp.promote_types(e.dtype, b.dtype),
         block_n=block_n,
         interpret=interpret,
+        transpose_out=transpose_out,
     )
+    if transpose_out:
+        return out
     return out.reshape(*lead, m, out.shape[-1])

@@ -41,29 +41,45 @@ from .spmm24_kernel import _cdiv, _round_up, default_interpret
 
 
 def _kernel(col_ref, val_ref, b_ref, out_ref, *, mblk: int, n_ell: int,
-            bs: int, bkb: int, mb: int):
+            bs: int, bkb: int, mb: int, tout: bool):
     ib = pl.program_id(1)
 
     for r in range(mblk):  # static unroll over the tile's block-rows
         row = (ib * mblk + r) * n_ell
 
-        def body(e, acc):
-            col = col_ref[row + e]
-            b_slab = b_ref[pl.ds(col * bkb, bkb), :]
-            a_blk = val_ref[r * bs:(r + 1) * bs, pl.ds(e * bkb, bkb)]
-            return acc + jnp.dot(
-                a_blk, b_slab, preferred_element_type=jnp.float32
-            )
+        if tout:
+            # C^T orientation: [bn, bs] partials, n in sublanes (no
+            # 128-lane padding for small n).
+            def body(e, acc):
+                col = col_ref[row + e]
+                b_slab = b_ref[pl.ds(col * bkb, bkb), :]
+                a_blk = val_ref[r * bs:(r + 1) * bs, pl.ds(e * bkb, bkb)]
+                return acc + jax.lax.dot_general(
+                    b_slab, a_blk, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
-        acc0 = jnp.zeros((bs, out_ref.shape[-1]), jnp.float32)
-        acc = jax.lax.fori_loop(0, n_ell, body, acc0)
-        out_ref[r * bs:(r + 1) * bs, :] = acc.astype(out_ref.dtype)
+            acc0 = jnp.zeros((out_ref.shape[0], bs), jnp.float32)
+            acc = jax.lax.fori_loop(0, n_ell, body, acc0)
+            out_ref[:, r * bs:(r + 1) * bs] = acc.astype(out_ref.dtype)
+        else:
+            def body(e, acc):
+                col = col_ref[row + e]
+                b_slab = b_ref[pl.ds(col * bkb, bkb), :]
+                a_blk = val_ref[r * bs:(r + 1) * bs, pl.ds(e * bkb, bkb)]
+                return acc + jnp.dot(
+                    a_blk, b_slab, preferred_element_type=jnp.float32
+                )
+
+            acc0 = jnp.zeros((bs, out_ref.shape[-1]), jnp.float32)
+            acc = jax.lax.fori_loop(0, n_ell, body, acc0)
+            out_ref[r * bs:(r + 1) * bs, :] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "block_k", "out_dtype", "block_n",
-                     "interpret"),
+                     "interpret", "transpose_out"),
 )
 def ell_spmm_pallas(
     values: jax.Array,       # [M, ell_blocks * bkb] (batch folded in rows)
@@ -75,8 +91,11 @@ def ell_spmm_pallas(
     out_dtype=jnp.bfloat16,
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
+    transpose_out: bool = False,
 ) -> jax.Array:
-    """C[M, n] = BlockedEll(values, col_indices) @ b (batch-folded)."""
+    """C[M, n] = BlockedEll(values, col_indices) @ b (batch-folded);
+    ``transpose_out`` emits C^T [n, M] (column-major convention, no
+    lane padding for small n)."""
     if interpret is None:
         interpret = default_interpret()
     bs = block_size
@@ -122,6 +141,23 @@ def ell_spmm_pallas(
     def _out_idx(j, ib, col):
         return (ib, j)
 
+    def _out_idx_t(j, ib, col):
+        return (j, ib)
+
+    if transpose_out:
+        bn = block_n or min(_round_up(n, 8), 1024, bn)
+        np_ = _round_up(n, bn)
+        out_spec = pl.BlockSpec(
+            (bn, mblk * bs), _out_idx_t, memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((np_, m), out_dtype)
+        grid = (np_ // bn, mb // mblk)
+    else:
+        out_spec = pl.BlockSpec(
+            (mblk * bs, bn), _out_idx, memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((m, np_), out_dtype)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -131,9 +167,7 @@ def ell_spmm_pallas(
             ),
             pl.BlockSpec((kp, bn), _b_idx, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (mblk * bs, bn), _out_idx, memory_space=pltpu.VMEM
-        ),
+        out_specs=out_spec,
     )
 
     flops = 2 * m * ellk * n
@@ -145,10 +179,11 @@ def ell_spmm_pallas(
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, mblk=mblk, n_ell=n_ell, bs=bs, bkb=bkb, mb=mb
+            _kernel, mblk=mblk, n_ell=n_ell, bs=bs, bkb=bkb, mb=mb,
+            tout=transpose_out,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m, np_), out_dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
@@ -157,4 +192,6 @@ def ell_spmm_pallas(
         ),
         interpret=interpret,
     )(col_indices.astype(jnp.int32).reshape(-1), values, b)
+    if transpose_out:
+        return out[:n, :]
     return out[..., :n]

@@ -117,8 +117,22 @@ def _expand_chunks(v0_ref, v1_ref, codes_ref, bk4, chunks):
     return parts
 
 
+def _dot_ct(af, b, transpose_out):
+    """One MXU contraction; ``transpose_out`` emits C^T (=[bn, bm]) by
+    swapping operand roles — same FLOPs, no transpose op."""
+    if transpose_out:
+        return jax.lax.dot_general(
+            b, af, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return jax.lax.dot_general(
+        af, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _kernel_acc(v0_ref, v1_ref, codes_ref, b_ref, out_ref, acc_ref, *,
-                n_k: int, bk4: int, chunks: int):
+                n_k: int, bk4: int, chunks: int, tout: bool):
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -126,7 +140,9 @@ def _kernel_acc(v0_ref, v1_ref, codes_ref, b_ref, out_ref, acc_ref, *,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     parts = _expand_chunks(v0_ref, v1_ref, codes_ref, bk4, chunks)
-    acc_ref[...] += _chunked_matmul(parts, b_ref, bk4)
+    acc_ref[...] += _dot_ct(jax.lax.concatenate(parts, 0)
+                            if len(parts) > 1 else parts[0],
+                            b_ref[...], tout)
 
     @pl.when(k_idx == n_k - 1)
     def _store():
@@ -134,13 +150,14 @@ def _kernel_acc(v0_ref, v1_ref, codes_ref, b_ref, out_ref, acc_ref, *,
 
 
 def _kernel_single(v0_ref, v1_ref, codes_ref, b_ref, out_ref, *,
-                   bk4: int, chunks: int):
+                   bk4: int, chunks: int, tout: bool):
     parts = _expand_chunks(v0_ref, v1_ref, codes_ref, bk4, chunks)
-    out_ref[...] = _chunked_matmul(parts, b_ref, bk4).astype(out_ref.dtype)
+    af = jax.lax.concatenate(parts, 0) if len(parts) > 1 else parts[0]
+    out_ref[...] = _dot_ct(af, b_ref[...], tout).astype(out_ref.dtype)
 
 
 def _kernel_single_cached(v0_ref, v1_ref, codes_ref, b_ref, out_ref,
-                          af_ref, *, bk4: int, chunks: int):
+                          af_ref, *, bk4: int, chunks: int, tout: bool):
     """Single k-step, several n-tiles: expand once per m-tile into VMEM
     scratch at the first n-tile, reuse it for the rest — the VPU
     decompress cost stops scaling with n."""
@@ -151,10 +168,8 @@ def _kernel_single_cached(v0_ref, v1_ref, codes_ref, b_ref, out_ref,
         parts = _expand_chunks(v0_ref, v1_ref, codes_ref, bk4, chunks)
         af_ref[...] = jax.lax.concatenate(parts, 0)
 
-    out_ref[...] = jax.lax.dot_general(
-        af_ref[...], b_ref[...], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(out_ref.dtype)
+    out_ref[...] = _dot_ct(af_ref[...], b_ref[...], tout).astype(
+        out_ref.dtype)
 
 
 def _pick_tiles(m, n, k4, dtype_bytes=2, vmem_budget=10 * 1024 * 1024):
@@ -204,6 +219,7 @@ def _pick_tiles(m, n, k4, dtype_bytes=2, vmem_budget=10 * 1024 * 1024):
         "block_n",
         "block_k4",
         "interpret",
+        "transpose_out",
     ),
 )
 def spmm24_pallas(
@@ -218,12 +234,20 @@ def spmm24_pallas(
     block_n: Optional[int] = None,
     block_k4: Optional[int] = None,
     interpret: Optional[bool] = None,
+    transpose_out: bool = False,
 ) -> jax.Array:
     """``C[M, N] = decompress24(v0, v1, codes)[:, :k_logical] @ b``.
 
     ``v0/v1/codes``: k-major batch-folded planes ``[K4, M]``; ``b``:
     ``[K, N]`` shared across all folded rows (reference shared-B
     convention, `spmm.hxx:67`).
+
+    ``transpose_out=True`` returns C^T ``[N, M]`` — the cuBLAS
+    column-major convention the reference itself uses (`gemm.hxx`
+    lda/ldb/ldc are column-major). On TPU this is load-bearing for
+    small n: a ``[M, 64]`` output pads its lane dim to 128 (2x C write
+    traffic), while ``[64, M]`` puts n in sublanes (quantum 8, no pad).
+    It is also the k-major layout the *next* layer's compress consumes.
     """
     if interpret is None:
         interpret = default_interpret()
@@ -237,6 +261,10 @@ def spmm24_pallas(
     bm = block_m or abm
     bn = block_n or abn
     bk4 = block_k4 or abk4
+    if transpose_out and block_n is None:
+        # C^T puts n in sublanes: tile it at the 8-row quantum instead
+        # of 128 lanes — for n=64 this halves the C write traffic.
+        bn = min(_round_up(n, 8), 512)
 
     mp = _round_up(m, bm)
     np_ = _round_up(n, bn)
@@ -282,13 +310,21 @@ def spmm24_pallas(
         pl.BlockSpec((4 * bk4, bn), lambda i, j, kk: (kk, j),
                      memory_space=pltpu.VMEM),
     ]
-    out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
-                            memory_space=pltpu.VMEM)
+    if transpose_out:
+        out_spec = pl.BlockSpec((bn, bm), lambda i, j, kk: (j, i),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((np_, mp), out_dtype)
+        acc_shape = (bn, bm)
+    else:
+        out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((mp, np_), out_dtype)
+        acc_shape = (bm, bn)
     common = dict(
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -306,20 +342,23 @@ def spmm24_pallas(
         )
         out = pl.pallas_call(
             functools.partial(_kernel_single_cached, bk4=bk4,
-                              chunks=chunks),
+                              chunks=chunks, tout=transpose_out),
             scratch_shapes=[pltpu.VMEM((4 * bk4, bm), v0.dtype)],
             **common,
         )(v0, v1, codes, b)
     elif n_k == 1:
         out = pl.pallas_call(
-            functools.partial(_kernel_single, bk4=bk4, chunks=chunks),
+            functools.partial(_kernel_single, bk4=bk4, chunks=chunks,
+                              tout=transpose_out),
             **common,
         )(v0, v1, codes, b)
     else:
         out = pl.pallas_call(
             functools.partial(_kernel_acc, n_k=n_k, bk4=bk4,
-                              chunks=chunks),
-            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+                              chunks=chunks, tout=transpose_out),
+            scratch_shapes=[pltpu.VMEM(acc_shape, jnp.float32)],
             **common,
         )(v0, v1, codes, b)
+    if transpose_out:
+        return out[:n, :m]
     return out[:m, :n]

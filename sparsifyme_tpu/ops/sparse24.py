@@ -144,7 +144,8 @@ def spmm_24_reference(s: Sparse24, b: jax.Array, *, out_dtype=None) -> jax.Array
 import collections
 
 _Cfg = collections.namedtuple(
-    "_Cfg", "k_logical out_dtype block_m block_n block_k4 interpret"
+    "_Cfg",
+    "k_logical out_dtype block_m block_n block_k4 interpret transpose_out",
 )
 
 
@@ -163,6 +164,7 @@ def _spmm24_core(cfg: "_Cfg", v0, v1, codes, b):
         block_n=cfg.block_n,
         block_k4=cfg.block_k4,
         interpret=cfg.interpret,
+        transpose_out=cfg.transpose_out,
     )
 
 
@@ -223,6 +225,7 @@ def spmm_24(
     block_n: Optional[int] = None,
     block_k4: Optional[int] = None,
     interpret: Optional[bool] = None,
+    transpose_out: bool = False,
 ) -> jax.Array:
     """Structured-sparse matmul ``decompress(s) @ b`` on the MXU.
 
@@ -237,6 +240,11 @@ def spmm_24(
     Args:
       s: Sparse24 with logical shape ``(..., m, k)``.
       b: dense ``(k, n)`` (shared across any batch dims of ``s``).
+      transpose_out: return C^T ``[n, M]`` (batch still folded in
+        lanes) — the cuBLAS column-major convention the reference uses
+        (ldc=m, `gemm.hxx:80`), and the k-major layout the next layer's
+        compress consumes. On TPU this avoids the 128-lane padding of
+        small-n outputs (n=64: 2x less C traffic). No VJP in this mode.
     """
     *lead, m, k = s.shape
     # Planes are k-major batch-folded [k4, M]; the kernel consumes them
@@ -249,7 +257,17 @@ def spmm_24(
         block_n=block_n,
         block_k4=block_k4,
         interpret=interpret,
+        transpose_out=transpose_out,
     )
+    if transpose_out:
+        from .kernels.spmm24_kernel import spmm24_pallas
+
+        return spmm24_pallas(
+            s.values0, s.values1, s.codes, b,
+            k_logical=k, out_dtype=cfg.out_dtype, block_m=block_m,
+            block_n=block_n, block_k4=block_k4, interpret=interpret,
+            transpose_out=True,
+        )
     out = _spmm24_core(cfg, s.values0, s.values1, s.codes, b)
     return out.reshape(*lead, m, out.shape[-1])
 
