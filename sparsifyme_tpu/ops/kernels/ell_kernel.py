@@ -46,34 +46,28 @@ def _kernel(col_ref, val_ref, b_ref, out_ref, *, mblk: int, n_ell: int,
 
     for r in range(mblk):  # static unroll over the tile's block-rows
         row = (ib * mblk + r) * n_ell
-
+        # Gather this block-row's B slabs by SUBLANE dynamic slices
+        # (any offset — lane slices would need 128-alignment, which a
+        # 32-wide block edge cannot give) and concatenate into one
+        # [ellk, bn] operand: a single deep MXU dot per block-row
+        # instead of n_ell shallow ones.
+        slabs = [
+            b_ref[pl.ds(col_ref[row + e] * bkb, bkb), :]
+            for e in range(n_ell)
+        ]
+        bg = jax.lax.concatenate(slabs, 0) if n_ell > 1 else slabs[0]
+        a_blk = val_ref[r * bs:(r + 1) * bs, :]
         if tout:
-            # C^T orientation: [bn, bs] partials, n in sublanes (no
-            # 128-lane padding for small n).
-            def body(e, acc):
-                col = col_ref[row + e]
-                b_slab = b_ref[pl.ds(col * bkb, bkb), :]
-                a_blk = val_ref[r * bs:(r + 1) * bs, pl.ds(e * bkb, bkb)]
-                return acc + jax.lax.dot_general(
-                    b_slab, a_blk, (((0,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-
-            acc0 = jnp.zeros((out_ref.shape[0], bs), jnp.float32)
-            acc = jax.lax.fori_loop(0, n_ell, body, acc0)
-            out_ref[:, r * bs:(r + 1) * bs] = acc.astype(out_ref.dtype)
+            # C^T orientation: [bn, bs], n in sublanes (no 128-lane
+            # padding for small n).
+            out_ref[:, r * bs:(r + 1) * bs] = jax.lax.dot_general(
+                bg, a_blk, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)
         else:
-            def body(e, acc):
-                col = col_ref[row + e]
-                b_slab = b_ref[pl.ds(col * bkb, bkb), :]
-                a_blk = val_ref[r * bs:(r + 1) * bs, pl.ds(e * bkb, bkb)]
-                return acc + jnp.dot(
-                    a_blk, b_slab, preferred_element_type=jnp.float32
-                )
-
-            acc0 = jnp.zeros((bs, out_ref.shape[-1]), jnp.float32)
-            acc = jax.lax.fori_loop(0, n_ell, body, acc0)
-            out_ref[r * bs:(r + 1) * bs, :] = acc.astype(out_ref.dtype)
+            out_ref[r * bs:(r + 1) * bs, :] = jnp.dot(
+                a_blk, bg, preferred_element_type=jnp.float32
+            ).astype(out_ref.dtype)
 
 
 @functools.partial(

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from .containers import Sparse24
 from .ops.prune import prune_check_nm, prune_nm
 from .ops.sparse24 import compress_24, spmm_24
-from .utils.timing import Timing, time_fn
+from .utils.timing import Timing, time_fn, time_kernel
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,16 +122,20 @@ class SpmmaPlan:
 
     # -- timed pipeline (the reference's return contract) ---------------
     def timed(
-        self, a: jax.Array, b: jax.Array, **time_kw
+        self, a: jax.Array, b: jax.Array, *, iters: int = 8,
+        reps: int = 3, **_legacy
     ) -> Tuple[jax.Array, Dict[str, Timing]]:
         """Run all three phases, each separately timed — the
-        `{prune, compress, mul}` triple of `spmma.hxx:117`."""
-        t_prune = time_fn(self._prune, a, **time_kw)
+        `{prune, compress, mul}` triple of `spmma.hxx:117`. Uses the
+        chained-loop methodology (`utils.timing.time_kernel`)."""
         pruned = self._prune(a)
-        t_compress = time_fn(self._compress, pruned, **time_kw)
+        t_prune = time_kernel(self._prune, (a,), iters=iters, reps=reps)
         s = self._compress(pruned)
-        t_mul = time_fn(self._matmul, s, b, **time_kw)
+        t_compress = time_kernel(self._compress, (pruned,), iters=iters,
+                                 reps=reps)
         out = self._matmul(s, b)
+        t_mul = time_kernel(self._matmul, (s, b), carrier=1, iters=iters,
+                            reps=reps)
         return out, {"prune": t_prune, "compress": t_compress, "mul": t_mul}
 
 
