@@ -203,7 +203,25 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("config", type=int, choices=sorted(RUNNERS))
     p.add_argument("--quick", action="store_true")
+    p.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (with an 8-device virtual mesh for "
+             "config 4)",
+    )
     args = p.parse_args(argv)
+    # Configs 0 (CPU-mandated by BASELINE) and 4 (needs a multi-device
+    # mesh; a single relayed TPU chip has none) default to CPU so that
+    # merely running them never claims the TPU chip out from under a
+    # concurrent benchmark.
+    if args.cpu or args.config in (0, 4):
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        jax.config.update("jax_platforms", "cpu")
     result = RUNNERS[args.config](quick=args.quick)
     print(json.dumps(result, default=float), flush=True)
     return 0
