@@ -59,11 +59,14 @@ def _kernel(col_ref, val_ref, b_ref, out_ref, *, mblk: int, n_ell: int,
         a_blk = val_ref[r * bs:(r + 1) * bs, :]
         if tout:
             # C^T orientation: [bn, bs], n in sublanes (no 128-lane
-            # padding for small n).
-            out_ref[:, r * bs:(r + 1) * bs] = jax.lax.dot_general(
+            # padding for small n). The dot's row count follows B's
+            # 128-lane tile; slice to the out tile's (8-quantum) rows.
+            res = jax.lax.dot_general(
                 bg, a_blk, (((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(out_ref.dtype)
+            )
+            out_ref[:, r * bs:(r + 1) * bs] = res[
+                :out_ref.shape[0]].astype(out_ref.dtype)
         else:
             out_ref[r * bs:(r + 1) * bs, :] = jnp.dot(
                 a_blk, bg, preferred_element_type=jnp.float32
@@ -139,13 +142,22 @@ def ell_spmm_pallas(
         return (j, ib)
 
     if transpose_out:
-        bn = block_n or min(_round_up(n, 8), 1024, bn)
-        np_ = _round_up(n, bn)
+        # Out rows tile at the sublane quantum (8); B's lane tile stays
+        # 128-divisible. For n < 128 that means one B tile of width
+        # np_ (=128) feeding an out tile of np8 rows.
+        np8 = _round_up(n, 8)
+        if n < 128:
+            out_rows = np8
+            grid = (np_ // bn, mb // mblk)  # np_ // bn == 1 here
+        else:
+            out_rows = bn
+            grid = (np_ // bn, mb // mblk)
         out_spec = pl.BlockSpec(
-            (bn, mblk * bs), _out_idx_t, memory_space=pltpu.VMEM
+            (out_rows, mblk * bs), _out_idx_t, memory_space=pltpu.VMEM
         )
-        out_shape = jax.ShapeDtypeStruct((np_, m), out_dtype)
-        grid = (np_ // bn, mb // mblk)
+        out_shape = jax.ShapeDtypeStruct(
+            (np8 if n < 128 else np_, m), out_dtype
+        )
     else:
         out_spec = pl.BlockSpec(
             (mblk * bs, bn), _out_idx, memory_space=pltpu.VMEM
