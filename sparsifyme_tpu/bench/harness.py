@@ -168,10 +168,13 @@ def bench_shape(
     if "ell" in kernels:
         _mark("ell")
         # Rectangular blocks: rows stay MXU-wide (128) while the k-edge
-        # shrinks to 32, so even k=64 layers carry true 50% block
-        # sparsity instead of being padded dense (a square-128 block
-        # needs k >= 256 before sparsity is expressible).
-        bs, bkb = 128, 32
+        # shrinks (to 32 on small-k layers), so even k=64 layers carry
+        # true 50% block sparsity instead of being padded dense (a
+        # square-128 block needs k >= 256 before sparsity is
+        # expressible). Large-k layers take wider edges: fewer, fatter
+        # gather slabs per block-row amortize the VMEM slice cost.
+        bs = 128
+        bkb = 32 if k < 512 else (64 if k < 1536 else 128)
         kp = _round_up(k, 2 * bkb)
         mp = _round_up(m, bs)
         ell_blocks = max(1, (kp // bkb) // 2)  # 50% block sparsity
@@ -182,17 +185,39 @@ def bench_shape(
                                      ell_blocks=ell_blocks, block_k=bkb)
         )(ap)
 
-        t_std = time_kernel(
-            lambda ee, y: spmm_ell(ee, y, out_dtype=dtype),
-            (e, bp), carrier=1, iters=iters, reps=reps,
-        )
-        t_tr = time_kernel(
-            lambda ee, y: spmm_ell(ee, y, out_dtype=dtype,
-                                   transpose_out=True),
-            (e, bp), carrier=1, iters=iters, reps=reps,
-        )
-        t = min((x for x in (t_std, t_tr) if x.ms > 0),
-                key=lambda x: x.ms, default=t_std)
+        cands = [
+            time_kernel(
+                lambda ee, y: spmm_ell(ee, y, out_dtype=dtype),
+                (e, bp), carrier=1, iters=iters, reps=reps,
+            ),
+            time_kernel(
+                lambda ee, y: spmm_ell(ee, y, out_dtype=dtype,
+                                       transpose_out=True),
+                (e, bp), carrier=1, iters=iters, reps=reps,
+            ),
+        ]
+        if k < 512:
+            # Small-k: the expand-in-VMEM formulation (dense FLOPs,
+            # half the A bytes) usually beats the gather kernel, whose
+            # per-block-row dots are too shallow to feed the MXU. The
+            # k-major relayout happens at format-build time (outside
+            # the timed loop), like the reference's untimed ell_t
+            # construction (`spmm.cu:42-113`).
+            from ..ops.ell import ell_values_kmajor
+            from ..ops.kernels.ell_kernel import ell_expand_spmm_pallas
+
+            vkm = jax.jit(ell_values_kmajor)(e)
+            cols = e.col_indices.reshape(-1, e.col_indices.shape[-1])
+            for tr in (False, True):
+                cands.append(time_kernel(
+                    lambda v, y, c, _tr=tr: ell_expand_spmm_pallas(
+                        v, c, y, block_size=bs, block_k=bkb,
+                        out_dtype=dtype, transpose_out=_tr,
+                    ),
+                    (vkm, bp, cols), carrier=1, iters=iters, reps=reps,
+                ))
+        t = min((x for x in cands if x.ms > 0),
+                key=lambda x: x.ms, default=cands[0])
         out["ell_ms"] = t.ms
         if t.ms > 0:
             out["ell_tflops"] = flops / (t.ms * 1e9)

@@ -91,7 +91,13 @@ def resnet_conv_shapes(
 
 
 def all_model_shapes(batch: int = 32) -> Dict[str, List[LayerShape]]:
-    return {name: resnet_conv_shapes(name, batch=batch) for name in _ARCH}
+    """Every model in the reference datagen zoo (`get_shapes.py:87-98`):
+    the ResNet family here, MobileNet/DenseNet from `conv_zoo`."""
+    from .conv_zoo import zoo_conv_shapes
+
+    out = {name: resnet_conv_shapes(name, batch=batch) for name in _ARCH}
+    out.update(zoo_conv_shapes(batch=batch))
+    return out
 
 
 def benchmark_shapes(batch: int = 32) -> List[LayerShape]:

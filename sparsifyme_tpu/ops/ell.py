@@ -146,3 +146,60 @@ def spmm_ell(
     if transpose_out:
         return out
     return out.reshape(*lead, m, out.shape[-1])
+
+
+def ell_values_kmajor(e: BlockedEll) -> jax.Array:
+    """Batch-folded k-major packed values ``[ellk, M]`` — the layout the
+    expand kernel consumes. Do this once at format-build time (like the
+    reference builds `ell_t` outside its timed region, `spmm.cu:42-113`),
+    not inside the hot call."""
+    return e.values.reshape(-1, e.values.shape[-1]).T
+
+
+def spmm_ell_expand(
+    e: BlockedEll,
+    b: jax.Array,
+    *,
+    out_dtype=None,
+    block_n: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    transpose_out: bool = False,
+    values_km: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Expand-in-VMEM Blocked-ELL SpMM — the small-k formulation.
+
+    Scatters packed slabs into a dense A^T VMEM scratch and runs one fat
+    dense contraction per tile: dense FLOPs, half the A bytes. Wins over
+    the gather kernel when the per-block-row dot would be too shallow to
+    feed the MXU (small k); see `ell_expand_spmm_pallas`. Pass
+    ``values_km`` (from :func:`ell_values_kmajor`) to keep the layout
+    change out of the hot path.
+    """
+    from .kernels.ell_kernel import ell_expand_spmm_pallas
+    from .kernels.spmm24_kernel import default_interpret
+
+    if interpret is None:
+        interpret = default_interpret()
+    if not interpret and e.block_size % 128 != 0:
+        out = spmm_ell_reference(e, b, out_dtype=out_dtype)
+        if transpose_out:
+            return out.reshape(-1, out.shape[-1]).T
+        return out
+    *lead, m, k = e.shape
+    if values_km is None:
+        values_km = ell_values_kmajor(e)
+    cols = e.col_indices.reshape(-1, e.col_indices.shape[-1])
+    out = ell_expand_spmm_pallas(
+        values_km,
+        cols,
+        b,
+        block_size=e.block_size,
+        block_k=e.block_k,
+        out_dtype=out_dtype or jnp.promote_types(e.dtype, b.dtype),
+        block_n=block_n,
+        interpret=interpret,
+        transpose_out=transpose_out,
+    )
+    if transpose_out:
+        return out
+    return out.reshape(*lead, m, out.shape[-1])

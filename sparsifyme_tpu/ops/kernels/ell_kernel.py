@@ -98,6 +98,7 @@ def ell_spmm_pallas(
     bs = block_size
     bkb = block_k or bs
     m, ellk = values.shape
+    m_orig = m
     n_ell = ellk // bkb
     mb = m // bs
     k, n = b.shape
@@ -117,13 +118,40 @@ def ell_spmm_pallas(
     if np_ != n:
         b = jnp.pad(b, ((0, 0), (0, np_ - n)))
 
-    # Block-rows per grid step: ~4 MB of packed values, divisor of mb.
-    mblk_cap = max(1, budget // max(1, bs * ellk * values.dtype.itemsize))
+    # Block-rows per grid step. Per-step fixed cost (~0.7 us) dominates
+    # tall small-k shapes, so go as fat as three budgets allow:
+    #   - VMEM: double-buffered values + out tiles + the resident B slab
+    #     under ~12 MB;
+    #   - code size: the kernel body statically unrolls mblk * n_ell
+    #     (gather + dot) pairs — cap the unroll to keep Mosaic compiles
+    #     sane;
+    #   - occupancy: keep a handful of grid steps so the values/out DMAs
+    #     still pipeline against compute.
+    vbytes = values.dtype.itemsize
+    obytes = jnp.dtype(out_dtype).itemsize
+    out_cols = min(bn, np_)  # per-step out lane width (row-major path)
+    vmem_free = 12 * 1024 * 1024 - kp * bn * b.dtype.itemsize
+    per_row = 2 * bs * ellk * vbytes + 2 * bs * out_cols * obytes
+    mblk_cap = max(1, vmem_free // max(1, per_row))
+    mblk_cap = min(mblk_cap, max(1, 256 // max(1, n_ell)), mb)
     mblk = 1
-    for d in range(min(mb, mblk_cap, 8), 0, -1):
+    for d in range(mblk_cap, 0, -1):
         if mb % d == 0:
             mblk = d
             break
+    # A divisor constraint can strand the cap (e.g. prime mb): pad the
+    # block-row axis with zero rows instead (col index 0, values 0 —
+    # contributes nothing) whenever that recovers >=25% of the cap.
+    if mblk < (3 * mblk_cap) // 4:
+        mblk = mblk_cap
+        mbp = _cdiv(mb, mblk) * mblk
+        if mbp != mb:
+            values = jnp.pad(values, ((0, (mbp - mb) * bs), (0, 0)))
+            col_indices = jnp.pad(
+                col_indices, ((0, mbp - mb), (0, 0))
+            )
+            mb = mbp
+            m = mb * bs
 
     # Outermost n-tile axis: the resident B slab is re-DMA'd only when
     # the n-tile changes; values/out cycle beneath it.
@@ -199,5 +227,155 @@ def ell_spmm_pallas(
         interpret=interpret,
     )(col_indices.astype(jnp.int32).reshape(-1), values, b)
     if transpose_out:
-        return out[:n, :]
-    return out[..., :n]
+        return out[:n, :m_orig]
+    return out[:m_orig, :n]
+
+
+def _kernel_expand(col_ref, val_ref, b_ref, out_ref, af_ref, *,
+                   mblk: int, n_ell: int, bs: int, bkb: int, tout: bool):
+    ib = pl.program_id(1)
+    af_ref[...] = jnp.zeros_like(af_ref)
+    for r in range(mblk):  # static unroll: scatter each block-row's slabs
+        row = (ib * mblk + r) * n_ell
+        for e in range(n_ell):
+            af_ref[pl.ds(col_ref[row + e] * bkb, bkb),
+                   r * bs:(r + 1) * bs] = (
+                val_ref[e * bkb:(e + 1) * bkb, r * bs:(r + 1) * bs]
+            )
+    if tout:
+        res = jax.lax.dot_general(
+            b_ref[...], af_ref[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[...] = res[:out_ref.shape[0]].astype(out_ref.dtype)
+    else:
+        out_ref[...] = jax.lax.dot_general(
+            af_ref[...], b_ref[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "block_k", "out_dtype",
+                     "block_n", "interpret", "transpose_out"),
+)
+def ell_expand_spmm_pallas(
+    values_km: jax.Array,    # [ell_blocks * bkb, M] — k-major, batch folded
+    col_indices: jax.Array,  # [M_blocks, ell_blocks] int32
+    b: jax.Array,            # [k, n] shared dense operand
+    *,
+    block_size: int,
+    block_k: int = 0,
+    out_dtype=jnp.bfloat16,
+    block_n: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    transpose_out: bool = False,
+) -> jax.Array:
+    """Expand-in-VMEM Blocked-ELL SpMM for *small-k* layers.
+
+    The gather kernel's per-block-row dots are only ``bkb`` deep — at
+    k = 64 that is a [128, 32] x [32, n] sliver per block-row and the
+    MXU runs nearly empty (measured 0.44x dense). Here each grid step
+    instead scatters its packed slabs into a zeroed dense A^T scratch
+    ``[kp, mblk*bs]`` at their block-column offsets (dynamic *sublane*
+    writes, granularity 8) and runs ONE fat dense contraction. FLOPs are
+    dense — the win is pure HBM bandwidth (packed values are half the
+    dense bytes), which is exactly the regime small-k layers live in.
+    Values arrive k-major (``[ellk, M]``) so the scatter is a straight
+    sublane-aligned copy; `ell_pack` emits this with ``k_major=True``.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    bs = block_size
+    bkb = block_k or bs
+    ellk, m = values_km.shape
+    m_orig = m
+    n_ell = ellk // bkb
+    mb = m // bs
+    k, n = b.shape
+    kp = _round_up(k, bkb)
+    if kp != k:
+        b = jnp.pad(b, ((0, kp - k), (0, 0)))
+    bn = block_n or min(_round_up(n, 128), 1024)
+    np_ = _round_up(n, bn)
+    if np_ != n:
+        b = jnp.pad(b, ((0, 0), (0, np_ - n)))
+
+    vbytes = values_km.dtype.itemsize
+    obytes = jnp.dtype(out_dtype).itemsize
+    vmem_free = 12 * 1024 * 1024 - kp * bn * b.dtype.itemsize
+    per_row = (2 * bs * ellk * vbytes + 2 * bs * bn * obytes
+               + bs * kp * vbytes)  # values + out tiles + af scratch
+    mblk_cap = max(1, vmem_free // max(1, per_row))
+    mblk_cap = min(mblk_cap, max(1, 64 // max(1, n_ell)), mb)
+    mblk = 1
+    for d in range(mblk_cap, 0, -1):
+        if mb % d == 0:
+            mblk = d
+            break
+    if mblk < (3 * mblk_cap) // 4:
+        mblk = mblk_cap
+        mbp = _cdiv(mb, mblk) * mblk
+        if mbp != mb:
+            values_km = jnp.pad(values_km, ((0, 0), (0, (mbp - mb) * bs)))
+            col_indices = jnp.pad(col_indices, ((0, mbp - mb), (0, 0)))
+            mb = mbp
+            m = mb * bs
+
+    grid = (np_ // bn, mb // mblk)
+    if transpose_out:
+        np8 = _round_up(n, 8)
+        out_rows = np8 if n < 128 else bn
+        out_spec = pl.BlockSpec(
+            (out_rows, mblk * bs), lambda j, ib, col: (j, ib),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (np8 if n < 128 else np_, m), out_dtype
+        )
+    else:
+        out_spec = pl.BlockSpec(
+            (mblk * bs, bn), lambda j, ib, col: (ib, j),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((m, np_), out_dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ellk, mblk * bs), lambda j, ib, col: (0, ib),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, bn), lambda j, ib, col: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((kp, mblk * bs), values_km.dtype)],
+    )
+
+    flops = 2 * m_orig * kp * n  # dense contraction (no FLOP skip)
+    bytes_accessed = (
+        values_km.size * vbytes
+        + b.size * b.dtype.itemsize * (np_ // bn)
+        + m_orig * n * obytes
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_expand, mblk=mblk, n_ell=n_ell, bs=bs, bkb=bkb,
+            tout=transpose_out,
+        ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(col_indices.astype(jnp.int32).reshape(-1), values_km, b)
+    if transpose_out:
+        return out[:n, :m_orig]
+    return out[:m_orig, :n]

@@ -190,8 +190,15 @@ def _pick_tiles(m, n, k4, dtype_bytes=2, vmem_budget=10 * 1024 * 1024):
     # m-tile: fat for small-n (per-step fixed costs dominate the
     # bandwidth-bound regime), small for big-n (measured: bm=512 beats
     # bm=2048 2x on n>=1024 shapes — better MXU pipelining).
-    bm_pref = (2048, 1536, 1024, 512, 256, 128) if n <= 128 else (
-        512, 256, 128)
+    # n <= 64: per-step fixed costs dominate, go very fat (measured
+    # 1.15x -> 1.31x on m=12544 k=64 n=64 at bm=4096); n=128 prefers
+    # 2048 (4096 measured 0.93x vs 1.16x at 2048 on 3136/128/1152).
+    if n <= 64:
+        bm_pref = (4096, 3072, 2048, 1536, 1024, 512, 256, 128)
+    elif n <= 128:
+        bm_pref = (2048, 1536, 1024, 512, 256, 128)
+    else:
+        bm_pref = (512, 256, 128)
     # VMEM per grid step (double-buffered ins/outs):
     #   planes 5*bk4*bm, B 4*bk4*bn*2, out bm*bn*2, acc bm*bn*4,
     #   expanded A^T 4*bk4*bm*2 (register/VMEM temp).

@@ -89,3 +89,46 @@ def test_spmm_ell_bf16(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
     )
+
+
+@pytest.mark.parametrize(
+    "m,k,n,bs,bkb,ell,tr",
+    [
+        (256, 64, 48, 128, 32, 1, False),
+        (256, 64, 48, 128, 32, 1, True),
+        (384, 256, 130, 128, 32, 4, False),
+        (256, 147, 64, 128, 32, 2, True),   # ragged k (padded)
+    ],
+)
+def test_spmm_ell_expand_matches_oracle(rng, m, k, n, bs, bkb, ell, tr):
+    """Expand-in-VMEM kernel == gather kernel == dense oracle."""
+    from sparsifyme_tpu.ops.ell import ell_values_kmajor, spmm_ell_expand
+
+    kp = -(-k // (2 * bkb)) * (2 * bkb)
+    w = jnp.pad(_rand(rng, (m, k)), ((0, 0), (0, kp - k)))
+    e = ell_from_dense(w, block_size=bs, ell_blocks=ell, block_k=bkb)
+    b = _rand(rng, (kp, n))
+    got = spmm_ell_expand(
+        e, b, out_dtype=jnp.float32, transpose_out=tr,
+        values_km=ell_values_kmajor(e),
+    )
+    want = np.asarray(ell_to_dense(e), np.float64) @ np.asarray(b, np.float64)
+    if tr:
+        want = want.T
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_ell_expand_batched(rng):
+    from sparsifyme_tpu.ops.ell import spmm_ell_expand
+
+    w = _rand(rng, (2, 128, 64))
+    e = ell_from_dense(w, block_size=128, ell_blocks=1, block_k=32)
+    b = _rand(rng, (64, 32))
+    got = spmm_ell_expand(e, b, out_dtype=jnp.float32)
+    assert got.shape == (2, 128, 32)
+    dense = ell_to_dense(e)
+    for i in range(2):
+        want = np.asarray(dense[i], np.float64) @ np.asarray(b, np.float64)
+        np.testing.assert_allclose(
+            np.asarray(got[i]), want, rtol=1e-4, atol=1e-4
+        )

@@ -69,4 +69,37 @@ def test_read_shapes_from_text():
 
 
 def test_all_models_present():
-    assert sorted(all_model_shapes()) == sorted(EXPECTED)
+    # The ResNet family (EXPECTED) plus the rest of the reference zoo.
+    assert set(EXPECTED) <= set(all_model_shapes())
+
+
+def test_conv_zoo_families():
+    """The reference datagen zoo (`get_shapes.py:87-98`) minus resnets:
+    conv counts match the published architectures."""
+    from sparsifyme_tpu.models.conv_zoo import zoo_conv_shapes
+
+    zoo = zoo_conv_shapes(batch=32)
+    # torchvision module Conv2d counts: mobilenet_v2 has 52 convs;
+    # densenet161: 1 stem + 78 layers * 2 + 3 transitions = 160;
+    # densenet201: 1 + 98 * 2 + 3 = 200.
+    assert len(zoo["mobilenetv2"]) == 52
+    assert len(zoo["densenet161"]) == 160
+    assert len(zoo["densenet201"]) == 200
+    for name, shapes in zoo.items():
+        for s in shapes:
+            assert s.m >= 1 and s.n >= 8 and s.k >= 8 and s.b == 32, (
+                name, s)
+    # Spot-check known shapes: mobilenetv2 head 1x1 conv at 7x7 spatial.
+    head = zoo["mobilenetv2"][-1]
+    assert (head.m, head.n, head.k) == (49, 1280, 320)
+    # densenet201 first dense-layer 1x1: 56x56, 64 -> 128.
+    first = zoo["densenet201"][1]
+    assert (first.m, first.n, first.k) == (3136, 128, 64)
+
+
+def test_all_model_shapes_includes_zoo():
+    from sparsifyme_tpu.models.resnet_shapes import all_model_shapes
+
+    names = set(all_model_shapes())
+    assert {"resnet18", "resnet50", "mobilenetv2", "mobilenetv3_small",
+            "mobilenetv3_large", "densenet161", "densenet201"} <= names
