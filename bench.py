@@ -60,12 +60,17 @@ def main() -> None:
     for k, v in sorted(summary.items()):
         print(f"# {k}: {v}", file=sys.stderr)
 
-    value = summary["spmm24_speedup_geomean"]
+    value = summary.get("best_sparse_speedup_geomean", float("nan"))
+    if value != value:  # single-kernel runs (e.g. --kernels gemm,spmm24)
+        value = summary.get(
+            "spmm24_speedup_geomean", summary.get("ell_speedup_geomean")
+        )
     print(
         json.dumps(
             {
                 "metric": (
-                    f"{args.model} 2:4 SpMM speedup vs dense GEMM "
+                    f"{args.model} sparse SpMM speedup vs dense GEMM, "
+                    "best format per layer: 2:4 or blocked-ELL@50% "
                     "(geomean, bf16, 1 chip)"
                 ),
                 "value": round(value, 4),

@@ -306,6 +306,15 @@ def summarize(results: Sequence[ShapeResult]) -> Dict[str, float]:
             [r.spmm24_speedup for r in results]
         ),
         "ell_speedup_geomean": geomean([r.ell_speedup for r in results]),
+        # Best sparse format per layer (2:4 or blocked-ELL@50%) — the
+        # plan's format-selection story: the reference likewise
+        # benchmarks both its sparse paths (compare.csv `spmm` =
+        # blocked-ELL; spmma = 2:4) and a user picks per layer.
+        "best_sparse_speedup_geomean": geomean([
+            max([x for x in (r.spmm24_speedup, r.ell_speedup)
+                 if x == x] or [float("nan")])
+            for r in results
+        ]),
         "nnz_per_s_geomean": geomean([r.nnz_per_s for r in results]),
     }
 

@@ -94,6 +94,8 @@ class SpmmaPlan:
             lambda a, b: self._matmul(self._compress(self._prune(a)), b)
         )
         self._operand: Optional[Sparse24] = None
+        # Set by matmul_search (the alg_id analog); None = heuristic.
+        self.algorithm: Optional[Tuple] = None
 
     # -- phases --------------------------------------------------------
     def prune(self, a: jax.Array) -> jax.Array:
@@ -119,6 +121,64 @@ class SpmmaPlan:
         if self._operand is None:
             raise ValueError("no cached operand; call set_operand() first")
         return self._matmul(self._operand, b)
+
+    # -- alg search (cusparseLtMatmulSearch analog) ----------------------
+    def matmul_search(
+        self,
+        s: Sparse24,
+        b: jax.Array,
+        *,
+        candidates: Optional[Tuple[Tuple, ...]] = None,
+        iters: int = 4,
+        reps: int = 2,
+    ) -> Tuple:
+        """`cusparseLtMatmulSearch` analog (`cusparseLt.h:262-277`): time
+        candidate kernel configurations on device and pin the winner
+        into this plan — subsequent `matmul`/`matmul_cached`/`__call__`
+        use it. A candidate is ``(block_m, block_n, block_k4,
+        transpose_out)``; ``None`` entries defer to the shape heuristic.
+        Returns the winning candidate (the `alg_id` analog).
+        """
+        cfg = self.config
+        if candidates is None:
+            candidates = (
+                (None, None, None, False),   # heuristic, row-major C
+                (None, None, None, True),    # heuristic, C^T
+                (512, None, None, False),
+                (1024, None, None, True),
+                (2048, None, None, True),
+            )
+        best, best_ms = None, float("inf")
+        for cand in candidates:
+            bm_, bn_, bk4_, tout = cand
+            fn = functools.partial(
+                spmm_24, out_dtype=jnp.dtype(cfg.out_dtype),
+                block_m=bm_, block_n=bn_, block_k4=bk4_,
+                transpose_out=tout,
+            )
+            try:
+                t = time_kernel(fn, (s, b), carrier=1, iters=iters,
+                                reps=reps)
+            except Exception:
+                continue  # infeasible tiling (e.g. VMEM) — skip, like
+                # cusparseLt skips unsupported alg configs
+            if 0 < t.ms < best_ms:
+                best, best_ms = cand, t.ms
+        if best is None:
+            raise RuntimeError("matmul_search: no feasible candidate")
+        bm_, bn_, bk4_, tout = best
+        self.algorithm = best
+        self._matmul = jax.jit(
+            functools.partial(
+                spmm_24, out_dtype=jnp.dtype(cfg.out_dtype),
+                block_m=bm_, block_n=bn_, block_k4=bk4_,
+                transpose_out=tout,
+            )
+        )
+        self._fused = jax.jit(
+            lambda a, b: self._matmul(self._compress(self._prune(a)), b)
+        )
+        return best
 
     # -- timed pipeline (the reference's return contract) ---------------
     def timed(

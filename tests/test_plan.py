@@ -65,3 +65,29 @@ def test_spmma_one_shot_timed(rng):
     assert out.shape == (4, 16, 8)
     assert set(times) == {"prune", "compress", "mul"}
     assert all(t.ms > 0 for t in times.values())
+
+
+def test_matmul_search_pins_algorithm():
+    """cusparseLtMatmulSearch analog: picks a feasible candidate and the
+    plan's matmul stays correct with it pinned."""
+    import jax
+    import numpy as np
+
+    m, k, n = 32, 64, 48
+    plan = SpmmaPlan(SpmmaConfig(m=m, n=n, k=k, out_dtype="float32"))
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (m, k), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32)
+    pruned = plan.prune(a)
+    s = plan.compress(pruned)
+    want = np.asarray(plan.matmul(s, b))
+    alg = plan.matmul_search(
+        s, b,
+        candidates=((None, None, None, False), (128, 128, 16, True)),
+        iters=1, reps=1,
+    )
+    assert plan.algorithm == alg
+    got = np.asarray(plan.matmul(s, b))
+    if alg[-1]:  # C^T winner
+        got = got.T
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
