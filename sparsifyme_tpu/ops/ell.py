@@ -11,6 +11,7 @@ compare.csv `spmm` column's win.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -18,6 +19,20 @@ import jax.numpy as jnp
 
 from ..containers import BlockedEll
 from .prune import prune_block_topk
+
+
+def _warn_densify(where: str, block_size: int) -> None:
+    """Loud signal that the MXU block-skip path was NOT taken (VERDICT
+    round-1: a silent dense fallback reported as SpMM is a lying
+    number)."""
+    warnings.warn(
+        f"{where}: block_size={block_size} is not a multiple of 128; "
+        "falling back to densify+dense-matmul (no FLOP skip, not a "
+        "sparse kernel measurement). Pad the operand or use "
+        "block_size=128 with a rectangular block_k.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def ell_from_dense(
@@ -91,11 +106,27 @@ def spmm_ell_reference(e: BlockedEll, b: jax.Array, *, out_dtype=None):
     )
 
 
+def _epilogue(out, alpha, beta, c, out_dtype):
+    """`alpha*AB + beta*C` tail (reference contract `spmm.hxx:30-36`);
+    XLA fuses the elementwise ops into the kernel's consumer."""
+    if alpha == 1.0 and beta == 0.0:
+        return out
+    out32 = out.astype(jnp.float32) * alpha
+    if c is not None and beta != 0.0:
+        out32 = out32 + beta * c.astype(jnp.float32)
+    return out32.astype(out_dtype or out.dtype)
+
+
 def spmm_ell(
     e: BlockedEll,
     b: jax.Array,
     *,
     out_dtype=None,
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    c: Optional[jax.Array] = None,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
     transpose_out: bool = False,
@@ -117,13 +148,22 @@ def spmm_ell(
     from .kernels.ell_kernel import ell_spmm_pallas
     from .kernels.spmm24_kernel import default_interpret
 
+    if transpose_a:
+        raise NotImplementedError(
+            "transpose_a is unsupported for Blocked-ELL SpMM: the block "
+            "column indices address the contraction axis; densify and "
+            "use batched_gemm(transpose_a=True) instead")
+    if transpose_b:
+        b = jnp.swapaxes(b, -1, -2)
     if interpret is None:
         interpret = default_interpret()
     if not interpret and e.block_size % 128 != 0:
+        _warn_densify("spmm_ell", e.block_size)
         out = spmm_ell_reference(e, b, out_dtype=out_dtype)
         if transpose_out:
-            return out.reshape(-1, out.shape[-1]).T
-        return out
+            return _epilogue(out.reshape(-1, out.shape[-1]).T,
+                             alpha, beta, c, out_dtype)
+        return _epilogue(out, alpha, beta, c, out_dtype)
 
     *lead, m, k = e.shape
     # Batch folds into rows (free reshapes): B is shared across the
@@ -144,8 +184,9 @@ def spmm_ell(
         transpose_out=transpose_out,
     )
     if transpose_out:
-        return out
-    return out.reshape(*lead, m, out.shape[-1])
+        return _epilogue(out, alpha, beta, c, out_dtype)
+    return _epilogue(out.reshape(*lead, m, out.shape[-1]),
+                     alpha, beta, c, out_dtype)
 
 
 def ell_values_kmajor(e: BlockedEll) -> jax.Array:
@@ -181,6 +222,7 @@ def spmm_ell_expand(
     if interpret is None:
         interpret = default_interpret()
     if not interpret and e.block_size % 128 != 0:
+        _warn_densify("spmm_ell_expand", e.block_size)
         out = spmm_ell_reference(e, b, out_dtype=out_dtype)
         if transpose_out:
             return out.reshape(-1, out.shape[-1]).T

@@ -217,6 +217,292 @@ def _pick_tiles(m, n, k4, dtype_bytes=2, vmem_budget=10 * 1024 * 1024):
     return 128, bn, bk4
 
 
+# ---------------------------------------------------------------------------
+# Fully-pipelined kernel (v5): expand(t) on the VPU overlaps dot(t-1) on
+# the MXU through a double-buffered VMEM slab.
+# ---------------------------------------------------------------------------
+
+
+def _expand_q_into(write, v0, v1, codes):
+    """Write the four quarter-major slabs of the expanded A^T tile.
+
+    Compact-domain selects (no `pltpu.repeat`): each quarter slab
+    ``[bk4, bm]`` is a select over the *compact* planes, exploiting the
+    2:4 invariant ``i0 < i1`` — quarter 0 can only come from slot 0 and
+    quarter 3 only from slot 1, so the expansion is 6 compares + 6
+    selects + 2 adds per group instead of the tile-repeat formulation's
+    ~36 VPU ops per group (measured: the repeat form serialized the VPU
+    against the MXU at ~55% of dense on compute-bound shapes).
+
+    The in-group indices are decoded once into *bf16* planes so every
+    compare/select runs in the native packed bf16 layout (16, 128):
+    int32-shaped masks force a sublane relayout per select (measured
+    ~2.2e12 effective VPU ops/s vs the unit's ~4e12 peak).
+    """
+    # Decode in int16: i16 shares bf16's (16, 128) vreg tiling, so the
+    # comparison masks are born in the layout the bf16 selects need —
+    # an int32 decode costs a mask repack per select (measured ~2.2e12
+    # effective VPU ops/s vs ~4e12 peak). Slots are disjoint (i0 < i1),
+    # so quarters 1/2 nest selects instead of adding two masked terms.
+    # v5e Mosaic legalizes only 32-bit vector compares (bf16 cmpf and
+    # i16 cmpi both fail), so the masks are int32-shaped and each select
+    # pays a mask repack into the bf16 (16, 128) layout.
+    ci = codes.astype(jnp.int32)
+    i0 = ci >> 2
+    i1 = ci & 3
+    zero = jnp.zeros((), v0.dtype)
+    write(0, jnp.where(i0 == 0, v0, zero))
+    write(1, jnp.where(i0 == 1, v0, jnp.where(i1 == 1, v1, zero)))
+    write(2, jnp.where(i0 == 2, v0, jnp.where(i1 == 2, v1, zero)))
+    write(3, jnp.where(i1 == 3, v1, zero))
+
+
+def _kernel_fp(v0_ref, v1_ref, codes_ref, b_ref, *rest,
+               T: int, n_k: int, bk4: int, tout: bool,
+               alpha: float = 1.0, beta: float = 0.0):
+    """Software-pipelined body over the flattened (m-tile, k-tile) grid.
+
+    Step t: MXU contracts the slab expanded at step t-1 while the VPU
+    expands tile t into the other slab. The two halves touch disjoint
+    buffers, so Mosaic can overlap them — the overlap the single-step
+    expand->dot chain structurally forbids. Buffer selection branches on
+    static parity (`pl.when`) rather than a traced scratch index: a
+    dynamic leading index forces Mosaic to copy the slab (measured 2x
+    regression on big-k shapes).
+    """
+    if beta != 0.0:
+        c_ref, out_ref, af0_ref, af1_ref, acc_ref = rest
+    else:
+        c_ref = None
+        out_ref, af0_ref, af1_ref, acc_ref = rest
+    t = pl.program_id(0)
+    parity = jax.lax.rem(t, 2)
+
+    def epilogue(part):
+        # alpha/beta epilogue fused at the store (`C = alpha*AB + beta*C`,
+        # reference contract `spmma.hxx:22-31`): one extra VMEM read of
+        # the C block, no extra HBM pass.
+        if alpha != 1.0:
+            part = part * jnp.float32(alpha)
+        if c_ref is not None:
+            part = part + jnp.float32(beta) * c_ref[...].astype(jnp.float32)
+        out_ref[...] = part.astype(out_ref.dtype)
+
+    def dot_from(af_ref):
+        part = _dot_ct(af_ref[...], b_ref[...], tout)
+        if n_k == 1:
+            epilogue(part)
+        else:
+            dk = jax.lax.rem(t - 1, n_k)
+
+            @pl.when(dk == 0)
+            def _init():
+                acc_ref[...] = part
+
+            @pl.when(dk > 0)
+            def _acc():
+                acc_ref[...] = acc_ref[...] + part
+
+            @pl.when(dk == n_k - 1)
+            def _store():
+                epilogue(acc_ref[...])
+
+    def expand_into(af_ref):
+        def write(q, val):
+            af_ref[q * bk4:(q + 1) * bk4, :] = val
+
+        _expand_q_into(write, v0_ref[...], v1_ref[...], codes_ref[...])
+
+    # dot first (issue the MXU op), then the independent expand.
+    @pl.when((t > 0) & (parity == 1))
+    def _dot0():
+        dot_from(af0_ref)
+
+    @pl.when((t > 0) & (parity == 0))
+    def _dot1():
+        dot_from(af1_ref)
+
+    @pl.when((t < T) & (parity == 0))
+    def _exp0():
+        expand_into(af0_ref)
+
+    @pl.when((t < T) & (parity == 1))
+    def _exp1():
+        expand_into(af1_ref)
+
+
+def _pick_tiles_fp(m, n, k4, tout, vmem_budget=12 * 1024 * 1024):
+    # NB: bm > 2048 measured 2.2-2.4x SLOWER than bm=2048 on
+    # (M=100352, k=512, n=128) despite fitting VMEM — Mosaic spills /
+    # loses pipelining on very large slabs. Cap at 2048; per-shape
+    # tuning overrides via block_m/block_k4.
+    """(bm, bk4, bnp) for the pipelined kernel: one n-tile (bnp = padded
+    n), fat m-tiles to amortize per-step cost, bk4 capped at 256."""
+    bnp = _round_up(n, 16 if tout else 128)
+    if k4 <= 256:
+        bk4 = _round_up(k4, 16)
+    else:
+        bk4 = min(range(64, 257, 16),
+                  key=lambda c: (_round_up(k4, c), _cdiv(k4, c)))
+    n_k = _cdiv(k4, bk4)
+    for bm in (2048, 1536, 1024, 768, 512, 384, 256, 128):
+        if bm > _round_up(m, 128):
+            continue
+        need = (
+            2 * (5 * bk4 * bm)              # planes, double-buffered
+            + 2 * (4 * bk4 * bnp * 2)       # B
+            + 2 * (bm * bnp * 2)            # out
+            + 2 * (4 * bk4 * bm * 2)        # af slabs
+            + (bm * bnp * 4 if n_k > 1 else 0)  # acc
+        )
+        if need <= vmem_budget:
+            return bm, bk4, bnp
+    return 128, bk4, bnp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_logical", "out_dtype", "block_m", "block_k4",
+                     "interpret", "transpose_out", "alpha", "beta"),
+)
+def spmm24_pallas_fp(
+    v0: jax.Array,
+    v1: jax.Array,
+    codes: jax.Array,
+    b: jax.Array,
+    c: Optional[jax.Array] = None,
+    *,
+    k_logical: int,
+    out_dtype=jnp.bfloat16,
+    block_m: Optional[int] = None,
+    block_k4: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    transpose_out: bool = False,
+    alpha: float = 1.0,
+    beta: float = 0.0,
+) -> jax.Array:
+    """Pipelined ``C = decompress24(v0, v1, codes)[:, :k_logical] @ b``.
+
+    Same contract as :func:`spmm24_pallas` but with a single n-tile and
+    a flattened, one-step-extended (m-tile x k-tile) grid: the VPU
+    expansion of tile t runs concurrently with the MXU contraction of
+    tile t-1 via double-buffered VMEM slabs. This is the structural fix
+    for the round-1 kernel's expand->dot serialization (SURVEY.md §7
+    hard part (a)).
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    k4, m = v0.shape
+    k_pad_in = b.shape[0]
+    n = b.shape[1]
+    if k_logical > 4 * k4:
+        raise ValueError(f"k_logical {k_logical} > 4*k4 {4 * k4}")
+
+    abm, abk4, bnp = _pick_tiles_fp(m, n, k4, transpose_out)
+    bm = block_m or abm
+    bk4 = block_k4 or abk4
+
+    mp = _round_up(m, bm)
+    np_ = _round_up(n, bnp)
+    k4p = _round_up(k4, bk4)
+    kp = 4 * k4p
+
+    if mp != m or k4p != k4:
+        pad_m, pad_k4 = mp - m, k4p - k4
+        v0 = jnp.pad(v0, ((0, pad_k4), (0, pad_m)))
+        v1 = jnp.pad(v1, ((0, pad_k4), (0, pad_m)))
+        codes = jnp.pad(codes, ((0, pad_k4), (0, pad_m)), constant_values=1)
+    if kp != k_pad_in or np_ != n:
+        b = jnp.pad(b, ((0, kp - k_pad_in), (0, np_ - n)))
+    has_c = beta != 0.0
+    if has_c:
+        if c is None:
+            raise ValueError("beta != 0 requires a C operand")
+        cpad = ((0, np_ - c.shape[0]), (0, mp - c.shape[1])) \
+            if transpose_out else ((0, mp - c.shape[0]), (0, np_ - c.shape[1]))
+        c = jnp.pad(c, cpad)
+
+    n_k = k4p // bk4
+    n_i = mp // bm
+    T = n_i * n_k
+
+    # Quarter-major B row permutation per k-tile (row 4g+q -> q*bk4+g).
+    b = b.reshape(n_k, bk4, 4, np_).swapaxes(1, 2).reshape(kp, np_)
+
+    def planes_im(t):
+        te = jnp.minimum(t, T - 1)
+        return (jax.lax.rem(te, n_k), te // n_k)
+
+    def b_im(t):
+        td = jnp.maximum(t - 1, 0)
+        return (jax.lax.rem(td, n_k), 0)
+
+    def out_im(t):
+        td = jnp.maximum(t - 1, 0)
+        return ((0, td // n_k) if transpose_out else (td // n_k, 0))
+
+    in_specs = [
+        pl.BlockSpec((bk4, bm), planes_im, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk4, bm), planes_im, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk4, bm), planes_im, memory_space=pltpu.VMEM),
+        pl.BlockSpec((4 * bk4, np_), b_im, memory_space=pltpu.VMEM),
+    ]
+    if transpose_out:
+        out_spec = pl.BlockSpec((np_, bm), out_im, memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((np_, mp), out_dtype)
+        acc_shape = (np_, bm)
+    else:
+        out_spec = pl.BlockSpec((bm, np_), out_im, memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((mp, np_), out_dtype)
+        acc_shape = (bm, np_)
+    if has_c:
+        # C blocks ride the output index map (one extra VMEM read at the
+        # store; the reference epilogue contract, spmma.hxx:22-31).
+        in_specs.append(pl.BlockSpec(out_spec.block_shape, out_im,
+                                     memory_space=pltpu.VMEM))
+
+    flops = 2 * m * k_logical * n
+    bytes_accessed = (
+        v0.size * v0.dtype.itemsize * 2
+        + codes.size
+        + b.size * b.dtype.itemsize
+        + m * n * jnp.dtype(out_dtype).itemsize
+    )
+    scratch = [
+        pltpu.VMEM((4 * bk4, bm), v0.dtype),
+        pltpu.VMEM((4 * bk4, bm), v0.dtype),
+        # acc unused when n_k == 1 (dot stores straight to out); a token
+        # buffer keeps the kernel signature uniform.
+        pltpu.VMEM(acc_shape if n_k > 1 else (8, 128), jnp.float32),
+    ]
+
+    operands = (v0, v1, codes, b) + ((c,) if has_c else ())
+    out = pl.pallas_call(
+        functools.partial(_kernel_fp, T=T, n_k=n_k, bk4=bk4,
+                          tout=transpose_out, alpha=alpha, beta=beta),
+        grid=(T + 1,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # Mosaic's default scoped-VMEM cap is 16 MB; the pipelined
+            # slabs + expand temporaries run ~2x the block-spec bytes.
+            # v5e has 128 MB of physical VMEM — raise the cap and let
+            # the tile picker budget stay the effective limit.
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(*operands)
+    if transpose_out:
+        return out[:n, :m]
+    return out[:m, :n]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -176,6 +176,10 @@ def _spmm24_bwd(cfg, res, g):
     import numpy as np
 
     v0, v1, codes, b = res  # k-major folded planes [k4, M]; g [M, n]
+    if cfg.transpose_out:
+        # C^T cotangent arrives [n, M]; the math below is layout-blind
+        # once g is row-major (round-1 gap: transpose_out had no VJP).
+        g = g.T
     k4, m = v0.shape
     kl = cfg.k_logical
     g32 = g.astype(jnp.float32)
@@ -221,6 +225,11 @@ def spmm_24(
     b: jax.Array,
     *,
     out_dtype=None,
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    c: Optional[jax.Array] = None,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
     block_m: Optional[int] = None,
     block_n: Optional[int] = None,
     block_k4: Optional[int] = None,
@@ -246,6 +255,20 @@ def spmm_24(
         compress consumes. On TPU this avoids the 128-lane padding of
         small-n outputs (n=64: 2x less C traffic). No VJP in this mode.
     """
+    if transpose_a:
+        # Matching cusparseLt's contract: the structured operand's 2:4
+        # compression axis must be the contraction axis (k). op(A)=A^T
+        # would put the sparsity on the output axis, which no structured
+        # matmul (there or here) executes; decompress and use
+        # `batched_gemm(transpose_a=True)` instead.
+        raise NotImplementedError(
+            "transpose_a is unsupported for 2:4 SpMM: the compression "
+            "axis must be the contraction axis (cusparseLt has the same "
+            "restriction)")
+    if transpose_b:
+        # Honest relayout: one XLA transpose of the dense operand (the
+        # reference's opB flag is a cuSPARSE layout flag, `spmm.hxx:35`).
+        b = jnp.swapaxes(b, -1, -2)
     *lead, m, k = s.shape
     # Planes are k-major batch-folded [k4, M]; the kernel consumes them
     # directly and the output [M, n] splits back along its leading dim
@@ -259,16 +282,18 @@ def spmm_24(
         interpret=interpret,
         transpose_out=transpose_out,
     )
-    if transpose_out:
-        from .kernels.spmm24_kernel import spmm24_pallas
-
-        return spmm24_pallas(
-            s.values0, s.values1, s.codes, b,
-            k_logical=k, out_dtype=cfg.out_dtype, block_m=block_m,
-            block_n=block_n, block_k4=block_k4, interpret=interpret,
-            transpose_out=True,
-        )
     out = _spmm24_core(cfg, s.values0, s.values1, s.codes, b)
+    # alpha/beta epilogue around the differentiable core: XLA fuses the
+    # elementwise tail, and autodiff handles d(alpha*AB + beta*C) for
+    # free. The Pallas FP kernel additionally fuses it at the store for
+    # the non-differentiable plan/bench path (spmm24_pallas_fp).
+    if alpha != 1.0 or beta != 0.0:
+        out32 = out.astype(jnp.float32) * alpha
+        if c is not None and beta != 0.0:
+            out32 = out32 + beta * c.astype(jnp.float32)
+        out = out32.astype(cfg.out_dtype)
+    if transpose_out:
+        return out
     return out.reshape(*lead, m, out.shape[-1])
 
 

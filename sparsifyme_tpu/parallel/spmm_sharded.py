@@ -121,15 +121,21 @@ def spmm_24_ring(
     the permute with the matmul — compute hides the halo transfer
     (configs[4]).
 
-    Requires: m % P == 0, k4 % P == 0, b.shape[0] % P == 0.
+    Batched A (leading dims on ``s``) folds into rows — the library's
+    batch-fold idiom: planes are already k-major batch-folded
+    ``[k4, B*m]``, so the row partition shards whole batch elements
+    (batch-major fold) and the output unfolds for free.
+
+    Requires: prod(batch)*m % P == 0, k4 % P == 0, b.shape[0] % P == 0.
     """
+    import numpy as np
+
     *lead, m, k = s.shape
-    if lead:
-        raise NotImplementedError(
-            "ring spmm currently takes unbatched A (stack batch into rows)"
-        )
-    del lead
+    m_total = int(np.prod(lead, dtype=np.int64)) * m if lead else m
     P_ = mesh.shape[axis]
+    if m_total % P_:
+        raise ValueError(
+            f"folded rows {m_total} not divisible by axis size {P_}")
     k4 = s.values0.shape[-2]  # planes are k-major [k4, m]
     if k4 % P_:
         raise ValueError(f"k4 {k4} not divisible by axis size {P_}")
@@ -169,10 +175,11 @@ def spmm_24_ring(
         acc, _ = jax.lax.fori_loop(0, P_, step, (acc0, b_shard))
         return acc.astype(out_dtype)
 
-    spec_plane = P(None, axis)  # k-major planes shard rows (m) on -1
+    spec_plane = P(None, axis)  # k-major planes shard folded rows on -1
     f = _shard_map(
         local, mesh,
         in_specs=(spec_plane, spec_plane, spec_plane, P(axis, None)),
         out_specs=P(axis, None),
     )
-    return f(s.values0, s.values1, s.codes, b)
+    out = f(s.values0, s.values1, s.codes, b)
+    return out.reshape(*lead, m, out.shape[-1])

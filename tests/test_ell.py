@@ -132,3 +132,30 @@ def test_spmm_ell_expand_batched(rng):
         np.testing.assert_allclose(
             np.asarray(got[i]), want, rtol=1e-4, atol=1e-4
         )
+
+
+def test_spmm_ell_alpha_beta_epilogue(rng):
+    # alpha/beta epilogue parity vs the dense oracle (spmm.hxx:30-36).
+    import numpy as np
+
+    w = jnp.asarray(rng.normal(size=(32, 64)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(64, 16)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+    e = ell_from_dense(w, block_size=8, ell_blocks=4)
+    got = spmm_ell(e, b, out_dtype=jnp.float32, alpha=3.0, beta=0.5, c=c)
+    dense = np.asarray(ell_to_dense(e), np.float64) @ np.asarray(
+        b, np.float64)
+    want = 3.0 * dense + 0.5 * np.asarray(c, np.float64)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_ell_transpose_b(rng):
+    import numpy as np
+
+    w = jnp.asarray(rng.normal(size=(32, 64)), jnp.float32)
+    bt = jnp.asarray(rng.normal(size=(16, 64)), jnp.float32)
+    e = ell_from_dense(w, block_size=8, ell_blocks=4)
+    got = spmm_ell(e, bt, out_dtype=jnp.float32, transpose_b=True)
+    want = np.asarray(ell_to_dense(e), np.float64) @ np.asarray(
+        bt, np.float64).T
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)

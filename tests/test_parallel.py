@@ -71,6 +71,27 @@ def test_ring_matches_single(rng, mesh8):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
 
 
+def test_ring_batched_matches_single(rng, mesh8):
+    # BASELINE configs[4] mandates *batched* row-partitioned ring SpMM:
+    # the batch folds into rows (batch-major), 8 batch x 16 rows = 128
+    # folded rows sharded 4-way (whole batch elements per shard).
+    s, b, pruned = _problem(rng, batch=8, m=16, k=128, n=24)
+    got = spmm_24_ring(s, b, mesh8, axis="model", out_dtype=jnp.float32)
+    assert got.shape == (8, 16, 24)
+    want = np.einsum(
+        "bmk,kn->bmn", np.asarray(pruned, np.float64),
+        np.asarray(b, np.float64))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_ring_batched_uneven_fold(rng, mesh8):
+    # Folded rows (3*20=60) not divisible by the 4-way axis: must raise,
+    # not silently mis-shard.
+    s, b, _ = _problem(rng, batch=3, m=18, k=128, n=8)  # 54 % 4 != 0
+    with pytest.raises(ValueError, match="not divisible"):
+        spmm_24_ring(s, b, mesh8, axis="model")
+
+
 def test_ring_under_jit(rng, mesh8):
     s, b, pruned = _problem(rng, batch=1, m=32, k=128, n=16)
     import dataclasses

@@ -119,6 +119,125 @@ def test_spmm24_batched_shared_b(rng):
         )
 
 
+@pytest.mark.parametrize(
+    "m,k,n,tout",
+    [
+        (32, 64, 32, False),
+        (100, 148, 96, False),      # unaligned everywhere
+        (100, 148, 96, True),
+        (64, 2304, 80, False),      # multi-k-tile accumulate
+        (64, 2304, 80, True),
+        (300, 512, 256, True),      # multi-m-tile pipeline
+    ],
+)
+def test_spmm24_fp_matches_dense_oracle(rng, m, k, n, tout):
+    # The pipelined kernel (expand(t) overlaps dot(t-1)) against the
+    # dense oracle, both output layouts, forced small tiles so the
+    # flattened (m-tile x k-tile) pipeline takes multiple steps.
+    from sparsifyme_tpu.ops.kernels.spmm24_kernel import spmm24_pallas_fp
+
+    a = _rand(rng, (m, k))
+    b = _rand(rng, (k, n))
+    pruned, _ = prune_24(a)
+    s = compress_24(pruned)
+    kp = 4 * s.values0.shape[0]
+    bp = jnp.pad(b, ((0, kp - k), (0, 0)))
+    got = spmm24_pallas_fp(
+        s.values0, s.values1, s.codes, bp, k_logical=k,
+        out_dtype=jnp.float32, transpose_out=tout,
+        block_m=128, block_k4=16,
+    )
+    if tout:
+        got = got.T
+    want = np.asarray(pruned, np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm24_transpose_out_direct(rng):
+    # Direct numerics of spmm_24(transpose_out=True) — round-1 VERDICT
+    # test gap: this is the layout SparseConv2d's forward uses.
+    a = _rand(rng, (48, 64))
+    b = _rand(rng, (64, 40))
+    s = compress_24(prune_24(a)[0])
+    got = spmm_24(s, b, out_dtype=jnp.float32, transpose_out=True)
+    want = (np.asarray(decompress_24(s), np.float64)
+            @ np.asarray(b, np.float64)).T
+    assert got.shape == (40, 48)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm24_alpha_beta_epilogue(rng):
+    # C = alpha*AB + beta*C vs the dense oracle (reference epilogue
+    # contract, spmma.hxx:22-31), round-1 VERDICT parity gap.
+    a = _rand(rng, (32, 64))
+    b = _rand(rng, (64, 48))
+    c = _rand(rng, (32, 48))
+    s = compress_24(prune_24(a)[0])
+    got = spmm_24(s, b, out_dtype=jnp.float32, alpha=0.5, beta=-2.0, c=c)
+    dense = np.asarray(decompress_24(s), np.float64) @ np.asarray(
+        b, np.float64)
+    want = 0.5 * dense + (-2.0) * np.asarray(c, np.float64)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm24_fp_alpha_beta_fused(rng):
+    # The FP kernel's in-store epilogue.
+    from sparsifyme_tpu.ops.kernels.spmm24_kernel import spmm24_pallas_fp
+
+    a = _rand(rng, (64, 96))
+    b = _rand(rng, (96, 32))
+    c = _rand(rng, (64, 32))
+    s = compress_24(prune_24(a)[0])
+    got = spmm24_pallas_fp(
+        s.values0, s.values1, s.codes, b, c, k_logical=96,
+        out_dtype=jnp.float32, alpha=2.0, beta=0.25)
+    dense = np.asarray(decompress_24(s), np.float64) @ np.asarray(
+        b, np.float64)
+    want = 2.0 * dense + 0.25 * np.asarray(c, np.float64)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm24_transpose_b(rng):
+    a = _rand(rng, (32, 64))
+    bt = _rand(rng, (48, 64))  # [n, k]: op(B) = B^T
+    s = compress_24(prune_24(a)[0])
+    got = spmm_24(s, bt, out_dtype=jnp.float32, transpose_b=True)
+    want = np.asarray(decompress_24(s), np.float64) @ np.asarray(
+        bt, np.float64).T
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm24_transpose_a_rejected(rng):
+    a = _rand(rng, (32, 64))
+    s = compress_24(prune_24(a)[0])
+    with pytest.raises(NotImplementedError, match="contraction axis"):
+        spmm_24(s, _rand(rng, (32, 16)), transpose_a=True)
+
+
+def test_spmm24_transpose_out_vjp(rng):
+    # Round-1 gap: transpose_out had no VJP (the layout SparseConv2d's
+    # forward uses). Gradients must match the reference path.
+    a = _rand(rng, (16, 32), jnp.float32)
+    s = compress_24(prune_24(a)[0])
+    b = _rand(rng, (32, 24), jnp.float32)
+
+    def loss_kernel(v0, v1, bb):
+        s2 = Sparse24(v0, v1, s.codes, shape=s.shape)
+        out = spmm_24(s2, bb, out_dtype=jnp.float32, transpose_out=True)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(v0, v1, bb):
+        s2 = Sparse24(v0, v1, s.codes, shape=s.shape)
+        return jnp.sum(spmm_24_reference(s2, bb, out_dtype=jnp.float32) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(s.values0, s.values1, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(s.values0, s.values1, b)
+    for got, want in zip(gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_spmm24_grad_flows(rng):
     # The op composes with JAX autodiff through B (training capability).
     a = _rand(rng, (16, 32))
