@@ -60,22 +60,45 @@ def main() -> None:
     for k, v in sorted(summary.items()):
         print(f"# {k}: {v}", file=sys.stderr)
 
-    value = summary.get("best_sparse_speedup_geomean", float("nan"))
-    if value != value:  # single-kernel runs (e.g. --kernels gemm,spmm24)
-        value = summary.get(
-            "spmm24_speedup_geomean", summary.get("ell_speedup_geomean")
-        )
+    # BASELINE.json's target is specifically the 2:4 kernel ("2:4 SpMM
+    # FLOP/s per chip vs dense GEMM >= 1.5x"): report it as the primary
+    # value, with blocked-ELL and best-of as explicit secondary fields.
+    value = summary.get("spmm24_speedup_geomean", float("nan"))
+    if value != value:  # single-kernel runs (e.g. --kernels gemm,ell)
+        value = summary.get("ell_speedup_geomean", float("nan"))
+
+    def _r(x):
+        return round(x, 4) if (x is not None and x == x) else None
+
     print(
         json.dumps(
             {
                 "metric": (
-                    f"{args.model} sparse SpMM speedup vs dense GEMM, "
-                    "best format per layer: 2:4 or blocked-ELL@50% "
-                    "(geomean, bf16, 1 chip)"
+                    f"{args.model} 2:4 SpMM speedup vs dense GEMM "
+                    "(geomean over layers, bf16, 1 chip)"
                 ),
-                "value": round(value, 4),
+                "value": _r(value),
                 "unit": "x",
-                "vs_baseline": round(value / 1.5, 4),
+                "vs_baseline": _r(value / 1.5),
+                "spmm24_speedup_geomean": _r(
+                    summary.get("spmm24_speedup_geomean")),
+                "ell_speedup_geomean": _r(
+                    summary.get("ell_speedup_geomean")),
+                "best_sparse_speedup_geomean": _r(
+                    summary.get("best_sparse_speedup_geomean")),
+                "spmm24_tflops_geomean": _r(
+                    summary.get("spmm24_tflops_geomean")),
+                "gemm_tflops_geomean": _r(
+                    summary.get("gemm_tflops_geomean")),
+                # Physics context: on a dense systolic MXU a 2:4 kernel
+                # executes every MAC (no FLOP skipping in silicon, unlike
+                # Ampere sparse tensor cores), so the speed-of-light
+                # speedup is bounded by the 1.6x A-traffic reduction on
+                # bandwidth-bound layers and ~1.0x on compute-bound ones.
+                "sol_speedup_geomean": _r(
+                    summary.get("sol_speedup_geomean")),
+                "spmm24_frac_sol_geomean": _r(
+                    summary.get("spmm24_frac_sol_geomean")),
             }
         ),
         flush=True,

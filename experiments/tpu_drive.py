@@ -66,11 +66,42 @@ def main():
         out_dtype=jnp.float32)[:100],
         spmm_24_reference(s2, b2, out_dtype=jnp.float32), tol=1e-4)
 
-    # ELL block 128 + rectangular k-edge.
+    # ELL block 128 + rectangular k-edge (rows must divide 128 after
+    # the batch fold: 4*768 = 3072 = 24*128).
+    aell = a[:, :768, :]
     e = jax.jit(lambda x: ell_from_dense(x, block_size=128, ell_blocks=4,
-                                         block_k=64))(a)
+                                         block_k=64))(aell)
     check("spmm_ell 128x64", spmm_ell(e, bm, out_dtype=jnp.float32),
           spmm_ell_reference(e, bm, out_dtype=jnp.float32))
+
+    # Fused prune+compress (round-2): bit-identical planes to the
+    # two-phase pipeline, both variants, on the real Mosaic lowering.
+    from sparsifyme_tpu.ops.kernels.prune_kernel import (
+        prune_compress_24_pallas)
+    from sparsifyme_tpu.ops.sparse24 import prune_compress_24
+
+    for km in (True, False):
+        fv0, fv1, fcodes = prune_compress_24_pallas(
+            a.reshape(-1, k), kmajor=km)
+        assert np.array_equal(np.asarray(fv0), np.asarray(s.values0)), km
+        assert np.array_equal(np.asarray(fv1), np.asarray(s.values1)), km
+        assert np.array_equal(np.asarray(fcodes), np.asarray(s.codes)), km
+    print("  fused prune+compress: planes bit-identical OK")
+    sf = jax.jit(prune_compress_24)(a)
+    check("fused op spmm parity", spmm_24(sf, bm, out_dtype=jnp.float32),
+          want)
+
+    # Segmented block-row COO kernel vs the XLA oracle (round-2).
+    from sparsifyme_tpu.ops.coo import (coo_from_dense, spmm_coo,
+                                        spmm_coo_segmented)
+
+    wc = np.asarray(jax.random.normal(key, (256, 384), jnp.float32)).copy()
+    wc[np.asarray(jax.random.uniform(key, (256, 384))) > 0.3] = 0.0
+    coo = coo_from_dense(wc)
+    bc = jax.random.normal(key, (4, 384, 96), jnp.float32)
+    check("coo segmented batched",
+          spmm_coo_segmented(coo, bc, out_dtype=jnp.float32),
+          spmm_coo(coo, bc, out_dtype=jnp.float32), tol=1e-4)
 
     # Small-block ELL on TPU: must warn + fall back, not crash.
     e8 = jax.jit(lambda x: ell_from_dense(x[0, :128, :128], block_size=8,

@@ -86,19 +86,31 @@ def config2_coo_resnet101(quick: bool = False) -> Dict:
     """Batched COO SpMM over ResNet-101 layers, 50-90% sparsity sweep.
 
     One shared sparse A broadcast over the batch — the stride-0 semantics
-    of `cusparseCooSetStridedBatch` (reference spmm.hxx:169)."""
-    from ..ops.coo import coo_from_dense, spmm_coo
+    of `cusparseCooSetStridedBatch` (reference spmm.hxx:169). Times both
+    formulations (XLA gather/segment-sum oracle and the Pallas segmented
+    block-row kernel) against the dense GEMM baseline, reporting nnz/s
+    and the sparse-vs-dense crossover — the honest TPU answer to the
+    reference cross-check's finding that COO loses to dense below
+    extreme sparsity (`gemm_coo_compare.py`)."""
+    from ..ops.coo import (coo_from_dense, pack_coo, spmm_coo,
+                           spmm_coo_segmented)
+    from ..ops.gemm import batched_gemm
     from ..ops.prune import prune_threshold
 
     shapes = sorted(set(resnet_conv_shapes("resnet101")))
     if quick:
         shapes = shapes[:3]
     sweeps = (0.5, 0.7, 0.9)
-    out_rows = []
+    rows = []
     for s in shapes:
         key = jax.random.PRNGKey(0)
         a = jax.random.normal(key, (s.m, s.k), jnp.float32)
         bm = jax.random.normal(key, (s.b, s.k, s.n), jnp.bfloat16)
+        ad = a.astype(jnp.bfloat16)[None].repeat(s.b, 0)
+        t_dense = time_kernel(
+            lambda x, y: batched_gemm(x, y, out_dtype=jnp.bfloat16),
+            (ad, bm.reshape(s.b, s.k, s.n)[0]), carrier=1, iters=4,
+            reps=3)
         for sp in sweeps:
             thr = float(np.quantile(np.abs(np.asarray(a)), sp))
             ap, _ = prune_threshold(a, threshold=thr)
@@ -107,13 +119,31 @@ def config2_coo_resnet101(quick: bool = False) -> Dict:
 
             t = time_kernel(spmm_coo, (coo, bm), carrier=1, iters=4,
                             reps=3)
-            out_rows.append((s, sp, t.ms, 2.0 * nnz * s.n * s.b /
-                             (t.ms * 1e9)))
+            packed = pack_coo(coo)
+            t_seg = time_kernel(
+                lambda v, c, r, y: spmm_coo_segmented(
+                    coo, y, packed=(v, c, r)),
+                (*packed, bm), carrier=3, iters=4, reps=3)
+            best = min(t.ms, t_seg.ms)
+            rows.append({
+                "m": s.m, "n": s.n, "k": s.k, "b": s.b, "sparsity": sp,
+                "dense_ms": t_dense.ms, "coo_xla_ms": t.ms,
+                "coo_seg_ms": t_seg.ms,
+                "nnz_per_s": nnz * s.n * s.b / (best * 1e-3) / s.n,
+                "speedup_vs_dense": t_dense.ms / best,
+            })
+    wins = [r for r in rows if r["speedup_vs_dense"] > 1.0]
     return {
         "config": 2,
-        "points": len(out_rows),
-        "coo_ms_geomean": _geomean([r[2] for r in out_rows]),
-        "coo_effective_tflops_geomean": _geomean([r[3] for r in out_rows]),
+        "points": len(rows),
+        "coo_xla_ms_geomean": _geomean([r["coo_xla_ms"] for r in rows]),
+        "coo_seg_ms_geomean": _geomean([r["coo_seg_ms"] for r in rows]),
+        "dense_ms_geomean": _geomean([r["dense_ms"] for r in rows]),
+        "speedup_vs_dense_geomean": _geomean(
+            [r["speedup_vs_dense"] for r in rows]),
+        "nnz_per_s_geomean": _geomean([r["nnz_per_s"] for r in rows]),
+        "points_beating_dense": len(wins),
+        "rows": rows,
     }
 
 
@@ -166,27 +196,45 @@ def config4_row_partitioned_scaling(quick: bool = False) -> Dict:
     from ..ops.sparse24 import compress_24, spmm_24
     from ..parallel.spmm_sharded import spmm_24_ring
 
-    P = len(jax.devices())
-    m, n, k = (1024, 512, 1024) if quick else (4096, 1024, 4096)
-    a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32)
+    nd = len(jax.devices())
+    # Batched A (configs[4] mandates *batched* row-partitioned SpMM);
+    # batch folds into rows, so every P divides the folded row count.
+    bsz, m, n, k = (2, 512, 256, 512) if quick else (8, 1024, 512, 2048)
+    a = jax.random.normal(jax.random.PRNGKey(0), (bsz, m, k), jnp.float32)
     bm = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32)
     s = jax.jit(lambda x: compress_24(prune_nm(x, 2, 4)[0]))(a)
 
     t1 = time_kernel(spmm_24, (s, bm), carrier=1, iters=4, reps=3)
+    nnz = bsz * m * (k // 2)
 
-    mesh = Mesh(np.array(jax.devices()), ("model",))
-    with mesh:
-        ring = jax.jit(lambda ss, y: spmm_24_ring(ss, y, mesh, "model"))
-
-        tP = time_kernel(ring, (s, bm), carrier=1, iters=4, reps=3)
-    eff = t1.ms / (tP.ms * P)
+    points = []
+    p = 1
+    while p <= nd:
+        if p == 1:
+            tP = t1
+        else:
+            mesh = Mesh(np.array(jax.devices()[:p]), ("model",))
+            with mesh:
+                ring = jax.jit(
+                    lambda ss, y, _mesh=mesh: spmm_24_ring(
+                        ss, y, _mesh, "model"))
+                tP = time_kernel(ring, (s, bm), carrier=1, iters=4,
+                                 reps=3)
+        points.append({
+            "devices": p,
+            "ring_ms": tP.ms,
+            "nnz_per_s_per_device": nnz / (tP.ms * 1e-3) / p,
+            "scaling_efficiency": t1.ms / (tP.ms * p),
+        })
+        p *= 2
     return {
         "config": 4,
-        "devices": P,
+        "shape": {"b": bsz, "m": m, "n": n, "k": k},
         "single_ms": t1.ms,
-        "ring_ms": tP.ms,
-        "scaling_efficiency": eff,
-        "note": "CPU-mesh emulation unless run on a pod slice",
+        "points": points,
+        "note": "CPU-mesh emulation unless run on a pod slice; "
+                "efficiency = t1 / (tP * P) (strong scaling, fixed "
+                "problem)",
     }
 
 

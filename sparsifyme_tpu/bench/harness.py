@@ -45,6 +45,7 @@ class ShapeResult:
     gemm_ms: float = math.nan
     prune_ms: float = math.nan
     compress_ms: float = math.nan
+    fused_ms: float = math.nan        # fused prune+compress (one pass)
     spmm24_ms: float = math.nan       # 2:4 matmul phase ("mul")
     ell_ms: float = math.nan          # blocked-ELL SpMM @50% block sparsity
     # Derived (dense-equivalent FLOPs = 2*m*n*k*b):
@@ -54,6 +55,10 @@ class ShapeResult:
     spmm24_speedup: float = math.nan
     ell_speedup: float = math.nan
     nnz_per_s: float = math.nan       # 2:4 kernel nonzeros/second
+    # Roofline (analytic speed-of-light, bench.roofline):
+    sol24_ms: float = math.nan        # 2:4 SoL time on this chip
+    sol_speedup: float = math.nan     # physically possible 2:4 speedup
+    spmm24_frac_sol: float = math.nan # achieved fraction of 2:4 SoL
 
     def row(self) -> List:
         return [getattr(self, f.name) for f in dataclasses.fields(self)]
@@ -144,22 +149,35 @@ def bench_shape(
             iters=max(4, iters // 2), reps=reps,
         )
         out["compress_ms"] = t.ms
+        # Fused prune+compress (one kernel pass, dense -> planes): what
+        # the plan pipeline actually runs; the separate prune/compress
+        # columns keep the reference's phase-split contract
+        # (spmma.hxx:117).
+        _mark("fused")
+        from ..ops.sparse24 import prune_compress_24
+
+        t = time_kernel(
+            prune_compress_24, (a,), carrier=0,
+            iters=max(4, iters // 2), reps=reps,
+        )
+        out["fused_ms"] = t.ms
         s = jax.jit(compress_24)(pruned)
         _mark("spmm24")
-        # Output layout is the library's to choose (the reference's
-        # cuBLAS/cuSPARSE convention is column-major C): take the best
-        # of row-major C and C^T (which avoids lane-padding small n).
-        t_std = time_kernel(
-            lambda ss, y: spmm_24(ss, y, out_dtype=dtype),
-            (s, bm), carrier=1, iters=iters, reps=reps,
-        )
-        t_tr = time_kernel(
-            lambda ss, y: spmm_24(ss, y, out_dtype=dtype,
-                                  transpose_out=True),
-            (s, bm), carrier=1, iters=iters, reps=reps,
-        )
-        t = min((x for x in (t_std, t_tr) if x.ms > 0),
-                key=lambda x: x.ms, default=t_std)
+        # Output layout and kernel formulation are the library's to
+        # choose (the cusparseLt alg-selection analog): best of
+        # {row-major C, C^T} x {classic grid, fully-pipelined} — the
+        # same search matmul_search runs when building a plan.
+        cands24 = []
+        for tr in (False, True):
+            for pipe in (False, True):
+                cands24.append(time_kernel(
+                    lambda ss, y, _t=tr, _p=pipe: spmm_24(
+                        ss, y, out_dtype=dtype, transpose_out=_t,
+                        pipeline=_p),
+                    (s, bm), carrier=1, iters=iters, reps=reps,
+                ))
+        t = min((x for x in cands24 if x.ms > 0),
+                key=lambda x: x.ms, default=cands24[0])
         out["spmm24_ms"] = t.ms
         if t.ms > 0:
             out["spmm24_tflops"] = flops / (t.ms * 1e9)
@@ -227,6 +245,18 @@ def bench_shape(
             out["spmm24_speedup"] = out["gemm_ms"] / out["spmm24_ms"]
         if out.get("ell_ms", 0) > 0:
             out["ell_speedup"] = out["gemm_ms"] / out["ell_ms"]
+
+    # Per-shape speed-of-light model (analytic, no device time): the
+    # physically achievable 2:4-vs-dense speedup on a dense-MXU chip —
+    # full FLOPs, 1.25 B/elem A traffic (see bench.roofline). The
+    # fraction-of-SoL column is what BASELINE's 1.5x target is judged
+    # against on compute-bound layers, where SoL itself is ~1.0x.
+    from .roofline import dense_sol_ms, spmm24_sol_ms
+
+    out["sol24_ms"] = spmm24_sol_ms(m, n, k, b)
+    out["sol_speedup"] = dense_sol_ms(m, n, k, b) / out["sol24_ms"]
+    if out.get("spmm24_ms", 0) > 0:
+        out["spmm24_frac_sol"] = out["sol24_ms"] / out["spmm24_ms"]
     return out
 
 
@@ -316,6 +346,16 @@ def summarize(results: Sequence[ShapeResult]) -> Dict[str, float]:
             for r in results
         ]),
         "nnz_per_s_geomean": geomean([r.nnz_per_s for r in results]),
+        "prune_ms_geomean": geomean([r.prune_ms for r in results]),
+        "compress_ms_geomean": geomean([r.compress_ms for r in results]),
+        "fused_ms_geomean": geomean([r.fused_ms for r in results]),
+        # Physics: the speedup a PERFECT 2:4 kernel could reach on this
+        # chip (full FLOPs on a dense MXU; see bench.roofline), and the
+        # fraction of that bound the shipped kernel achieves.
+        "sol_speedup_geomean": geomean(
+            [r.sol_speedup for r in results]),
+        "spmm24_frac_sol_geomean": geomean(
+            [r.spmm24_frac_sol for r in results]),
     }
 
 

@@ -128,3 +128,57 @@ def coo_to_ell(
         shape=(m, k),
         block_size=bs,
     )
+
+
+def pack_coo(a: Coo, block_rows: int = 128):
+    """Host-side segment packing for the Pallas kernel (format-build
+    step, measured separately like the reference cross-check's
+    ``to_sparse()`` conversion accounting)."""
+    from .kernels.coo_kernel import pack_coo_blockrows
+
+    vals2, cols2, roff2 = pack_coo_blockrows(
+        np.asarray(a.rows), np.asarray(a.cols), np.asarray(a.values),
+        a.shape[0], block_rows=block_rows,
+    )
+    return jnp.asarray(vals2), jnp.asarray(cols2), jnp.asarray(roff2)
+
+
+def spmm_coo_segmented(
+    a: Coo,
+    b: jax.Array,
+    *,
+    out_dtype=None,
+    block_rows: int = 128,
+    packed: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+) -> jax.Array:
+    """Segmented block-row COO SpMM on the MXU (Pallas kernel).
+
+    The device-kernel formulation of :func:`spmm_coo` (which remains the
+    XLA oracle): entries are packed per block-row of C, B rows are
+    gathered via scalar-prefetched column indices, and the segment
+    reduction runs as a one-hot scatter matmul — see
+    :mod:`.kernels.coo_kernel`. A shared sparse A broadcasts over batch
+    dims of ``b`` by folding batch into the n axis (the stride-0
+    semantics of `cusparseCooSetStridedBatch`, `spmm.hxx:169`).
+
+    ``packed``: pre-packed ``pack_coo(a, block_rows)`` output so the
+    host-side conversion cost stays out of the hot loop.
+    """
+    from .kernels.coo_kernel import spmm_coo_pallas
+
+    m, k = a.shape
+    out_dtype = out_dtype or jnp.promote_types(a.dtype, b.dtype)
+    if packed is None:
+        packed = pack_coo(a, block_rows)
+    vals2, cols2, roff2 = packed
+    lead = b.shape[:-2]
+    n = b.shape[-1]
+    b2 = jnp.moveaxis(b.reshape(-1, k, n), 0, 1).reshape(k, -1)
+    out = spmm_coo_pallas(
+        vals2, cols2, roff2, b2, m=m, block_rows=block_rows,
+        out_dtype=jnp.float32,
+    )
+    if lead:
+        out = jnp.moveaxis(out.reshape(m, -1, n), 1, 0)
+        return out.reshape(*lead, m, n).astype(out_dtype)
+    return out.reshape(m, n).astype(out_dtype)

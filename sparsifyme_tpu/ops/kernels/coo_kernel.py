@@ -1,0 +1,190 @@
+"""Pallas segmented block-row COO SpMM.
+
+TPU-native device kernel for the reference's strided-batched COO SpMM
+capability (`include/sparsify.me/spmm.hxx:140-193`, one sparse A shared
+across batches via stride-0, `spmm.hxx:169`). The GPU formulation
+(cusparse COO ALG4) is a warp-level segmented reduction; scattered
+per-element access cannot feed the TPU MXU, so the segmented reduction
+becomes a **one-hot scatter matmul**:
+
+* entries are packed by block-row of C (the segment), padded to a
+  uniform count per block-row (host-side, at format-build time — the
+  conversion cost the reference cross-check accounts for);
+* per group of G entries the kernel gathers G rows of B (dynamic
+  sublane slices driven by scalar-prefetched column indices) into a
+  ``[G, bn]`` slab;
+* a ``[bm, G]`` one-hot matrix (row-offset compare against an iota,
+  scaled by the entry values) scatter-accumulates the slab into the
+  block-row's ``[bm, bn]`` accumulator **on the MXU** — duplicate
+  (row, col) entries sum correctly, and the segment reduction rides
+  the systolic array instead of a scalar loop.
+
+Batch folds into the n axis (shared-A = stride-0 broadcast): B
+``[batch, k, n] -> [k, batch*n]``, one unbatched call.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .spmm24_kernel import _round_up, default_interpret
+
+GROUP = 8  # entries per one-hot scatter matmul (sublane quantum)
+
+
+def pack_coo_blockrows(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    m: int,
+    *,
+    block_rows: int = 128,
+    group: int = GROUP,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side segment packing: COO entries -> per-block-row slots.
+
+    Returns ``(vals2 [mb, E], cols2 [mb, E], roff2 [mb, E])`` where
+    ``E`` is the max entry count over block-rows, padded to a multiple
+    of ``group``; padding entries carry value 0 at (roff 0, col 0) and
+    contribute nothing. ``roff2`` is the row offset *within* the block
+    row. Packing is the format-build step (not timed in the kernel),
+    like the reference driver's host-side COO generation
+    (`examples/batched_coo.cu:46-68`).
+    """
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals)
+    mb = -(-m // block_rows)
+    br = rows // block_rows
+    counts = np.bincount(br, minlength=mb)
+    e = int(counts.max()) if len(rows) else 0
+    # Pad the slot axis to 128 (not just the group size): the kernel
+    # views the slots as [E//128, 128] lane tiles (Mosaic block rule).
+    e = max(128, -(-e // 128) * 128)
+    vals2 = np.zeros((mb, e), vals.dtype)
+    cols2 = np.zeros((mb, e), np.int32)
+    roff2 = np.zeros((mb, e), np.int32)
+    order = np.argsort(br, kind="stable")
+    rows, cols, vals, br = rows[order], cols[order], vals[order], br[order]
+    starts = np.zeros(mb, np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    slot = np.arange(len(rows)) - starts[br]
+    vals2[br, slot] = vals
+    cols2[br, slot] = cols
+    roff2[br, slot] = rows - br * block_rows
+    return vals2, cols2, roff2
+
+
+def _coo_kernel(cols_ref, vals_ref, roff_ref, b_ref, out_ref, *,
+                rows_e: int, bm: int, out_dtype):
+    i = pl.program_id(1)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (bm, 128), 0)
+
+    def body(r, acc):
+        # One 128-slot tile row per iteration. Dynamic SUBLANE indexing
+        # (r) is Mosaic-legal; dynamic lane slices are not — so the
+        # whole 128-lane row loads at once and group selection below
+        # uses static offsets only.
+        rvec = roff_ref[0, r, :]                        # [128] int32
+        vvec = vals_ref[0, r, :]                        # [128]
+        base = r * 128
+        # Gather the 128 B rows (scalar-prefetched column indices ->
+        # dynamic sublane slices of the resident B n-tile).
+        slab = jnp.concatenate(
+            [b_ref[pl.ds(cols_ref[i, base + u], 1), :]
+             for u in range(128)],
+            axis=0,
+        ).astype(jnp.float32)                           # [128, bn]
+        # Segment reduction as ONE depth-128 one-hot matmul on the MXU:
+        # onehot[row, slot] = value where the slot scatters to row.
+        onehot = jnp.where(
+            riota == rvec[None, :], 1.0, 0.0
+        ) * vvec[None, :].astype(jnp.float32)           # [bm, 128]
+        return acc + jax.lax.dot_general(
+            onehot, slab, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # f32 operands: force the 3-pass MXU path (default bf16
+            # passes cost ~1e-3 rel err vs the exact XLA oracle); the
+            # kernel is gather-bound, so the extra passes are free.
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    acc = jax.lax.fori_loop(0, rows_e, body, acc)
+    out_ref[...] = acc.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "block_rows", "block_n", "out_dtype",
+                     "interpret"),
+)
+def spmm_coo_pallas(
+    vals2: jax.Array,   # [mb, E]
+    cols2: jax.Array,   # [mb, E] int32
+    roff2: jax.Array,   # [mb, E] int32
+    b: jax.Array,       # [k, N] (batch folded into N)
+    *,
+    m: int,
+    block_rows: int = 128,
+    block_n: Optional[int] = None,
+    out_dtype=jnp.float32,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """``C[m, N] = scatter(vals2/cols2/roff2) @ b`` — segmented
+    block-row COO SpMM (see module docstring)."""
+    if interpret is None:
+        interpret = default_interpret()
+    mb, e = vals2.shape
+    if e % GROUP:
+        raise ValueError(f"entry count {e} not a multiple of {GROUP}")
+    k, n = b.shape
+    bm = block_rows
+    kp = _round_up(k, 8)
+    # B stays resident per n-tile; ~4 MB slab budget.
+    budget = 4 * 1024 * 1024
+    bn_cap = max(128, (budget // (kp * b.dtype.itemsize)) // 128 * 128)
+    bn = block_n or min(_round_up(n, 128), 1024, bn_cap)
+    np_ = _round_up(n, bn)
+    if kp != k or np_ != n:
+        b = jnp.pad(b, ((0, kp - k), (0, np_ - n)))
+
+    if e % 128:
+        raise ValueError(f"entry count {e} not a multiple of 128")
+    # Slot planes as [mb, E//128, 128] lane tiles (Mosaic block rule:
+    # the (1, E) layout has a 1-sublane block, which is rejected).
+    vals3 = vals2.reshape(mb, e // 128, 128)
+    roff3 = roff2.reshape(mb, e // 128, 128)
+    grid = (np_ // bn, mb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, e // 128, 128), lambda j, i, cols: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # vals
+            pl.BlockSpec((1, e // 128, 128), lambda j, i, cols: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # roff
+            pl.BlockSpec((kp, bn), lambda j, i, cols: (0, j),
+                         memory_space=pltpu.VMEM),  # B n-tile resident
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, i, cols: (i, j),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_coo_kernel, rows_e=e // 128, bm=bm,
+                          out_dtype=out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mb * bm, np_), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(cols2, vals3, roff3, b)
+    return out[:m, :n]

@@ -125,6 +125,30 @@ def prune_nm_pallas(
     return out, mask
 
 
+def _rank_masks_24(a: jax.Array, pos: jax.Array, roll_fn):
+    """Slot masks for 2:4 selection: ``(m0, m1)`` int32 0/1 arrays
+    marking the first/second kept member of every group of 4 (rank by
+    (|value|, position), later positions win ties). ``roll_fn(v, s)``
+    must implement jnp.roll semantics along the group axis."""
+    cnt = _beat_count(a, pos, 4, 0, roll_fn)
+    # All mask algebra in int32: Mosaic mis-lays-out i1&i1 on short
+    # tiles ("Invalid relayout ... vector<...xi1>").
+    keep32 = jnp.where(cnt < 2, 1, 0)
+    # Slot assignment: first/second kept member by position.
+    kept_before = jnp.zeros(a.shape, jnp.int32)
+    for s in range(1, 4):
+        kf = roll_fn(keep32, -s)
+        kb = roll_fn(keep32, 4 - s)
+        wraps = pos + s >= 4
+        pk = jnp.where(wraps, kb, kf)
+        ppos = jnp.where(wraps, pos + s - 4, pos + s)
+        kept_before = kept_before + pk * jnp.where(ppos < pos, 1, 0)
+    m0 = keep32 * (1 - jnp.minimum(kept_before, 1))          # slot 0
+    m1 = keep32 * jnp.minimum(kept_before, 1) * jnp.where(
+        kept_before < 2, 1, 0)                               # slot 1
+    return m0, m1
+
+
 def _compress_kernel(xt_ref, v0_ref, v1_ref, codes_ref):
     """Input: k-major dense tile [bk (sublanes, groups of 4), bm].
     Outputs: planes [bk//4, bm]."""
@@ -136,22 +160,7 @@ def _compress_kernel(xt_ref, v0_ref, v1_ref, codes_ref):
     def sub_roll(v, s):  # pltpu.roll needs s >= 0; jnp.roll semantics
         return pltpu.roll(v, s % v.shape[0], 0)
 
-    cnt = _beat_count(a, pos, 4, 0, sub_roll)
-    # All mask algebra in int32: Mosaic mis-lays-out i1&i1 on short
-    # tiles ("Invalid relayout ... vector<...xi1>").
-    keep32 = jnp.where(cnt < 2, 1, 0)
-    # Slot assignment: first/second kept member by position.
-    kept_before = jnp.zeros(x.shape, jnp.int32)
-    for s in range(1, 4):
-        kf = sub_roll(keep32, -s)
-        kb = sub_roll(keep32, 4 - s)
-        wraps = pos + s >= 4
-        pk = jnp.where(wraps, kb, kf)
-        ppos = jnp.where(wraps, pos + s - 4, pos + s)
-        kept_before = kept_before + pk * jnp.where(ppos < pos, 1, 0)
-    m0 = keep32 * (1 - jnp.minimum(kept_before, 1))          # slot 0
-    m1 = keep32 * jnp.minimum(kept_before, 1) * jnp.where(
-        kept_before < 2, 1, 0)                               # slot 1
+    m0, m1 = _rank_masks_24(a, pos, sub_roll)
 
     # Group compaction [bk, bm] -> [bk//4, bm] runs on the MXU: a tiny
     # selection matrix S (S[g, 4g+j] = 1) contracts the group axis.
@@ -203,7 +212,13 @@ def compress_24_pallas(
         raise ValueError(f"k {kp} not a multiple of 4")
     # 128-sublane tiles: gsum costs bk/4 MACs per element (keep bk
     # short), but 64-sublane tiles trigger a Mosaic i1-relayout bug.
+    # Prefer an exact divisor of kp: a non-dividing bk forces a
+    # full-size jnp.pad copy of the k-major input.
     bk = min(_round_up(kp, 32), 256)
+    if kp % bk:
+        divs = [d for d in range(256, 31, -32) if kp % d == 0]
+        if divs:
+            bk = divs[0]
     kpp = _round_up(kp, bk)
     # Scoped VMEM is 16 MB; input tile + plane tiles + f32 temps cost
     # ~16 B per input element. Budget 8 MB.
@@ -235,3 +250,173 @@ def compress_24_pallas(
     )(wt)
     k4 = kp // 4
     return v0[:k4, :mm], v1[:k4, :mm], codes[:k4, :mm]
+
+
+def _gsum_sel(x, m0, m1, pos, mm_dtype):
+    """Group-compact via an MXU selection matmul, row-major: groups of 4
+    live in the LANE axis. ``x*(mask)`` [bm, bk] @ selT [bk, bk//4]
+    (selT[4g+j, g] = 1) contracts the group axis in the standard
+    MXU-native form. One nonzero per contraction column per group row:
+    no accumulation rounding, so bf16 inputs may compact in bf16."""
+    bk = x.shape[1]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (bk, bk // 4), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (bk, bk // 4), 1)
+    selT = (rr // 4 == cc).astype(mm_dtype)
+
+    def gsum(v):
+        return jax.lax.dot_general(
+            v.astype(mm_dtype), selT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    cv0 = gsum(x * m0.astype(x.dtype))
+    cv1 = gsum(x * m1.astype(x.dtype))
+    posf = pos.astype(mm_dtype)
+    i0 = gsum(posf * m0.astype(mm_dtype))
+    i1 = gsum(posf * m1.astype(mm_dtype))
+    return cv0, cv1, i0, i1
+
+
+def _fused_kernel_rm(x_ref, v0_ref, v1_ref, codes_ref):
+    """Fused prune+compress, row-major in AND out: dense tile
+    [bm, bk (lanes, groups of 4)] -> compact planes [bm, bk//4].
+    Selection = magnitude top-2 per group (identical to prune_nm's
+    ranking), so this subsumes the prune phase: one HBM read of the
+    dense weights, compact writes only."""
+    x = x_ref[...]
+    a = jnp.abs(x).astype(jnp.float32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % 4
+
+    def lane_roll(v, s):
+        return pltpu.roll(v, s % v.shape[1], 1)
+
+    m0, m1 = _rank_masks_24(a, pos, lane_roll)
+    mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    cv0, cv1, i0, i1 = _gsum_sel(x, m0, m1, pos, mm_dtype)
+    v0_ref[...] = cv0.astype(v0_ref.dtype)
+    v1_ref[...] = cv1.astype(v1_ref.dtype)
+    # Mosaic has no f32->uint8 cast; hop through int32.
+    codes_ref[...] = (i0 * 4 + i1).astype(jnp.int32).astype(jnp.uint8)
+
+
+def _fused_kernel_km(x_ref, v0_ref, v1_ref, codes_ref):
+    """Fused prune+compress with the k-major relayout done IN-KERNEL:
+    dense tile [bm, bk] is transposed in VMEM (f32: Mosaic's vector
+    transpose path; exact for bf16 values) and the sublane compress
+    body runs on the transpose — the full-size XLA pre-transpose the
+    round-1 pipeline paid (HBM read+write of the whole matrix) never
+    touches HBM."""
+    xt = jnp.swapaxes(x_ref[...].astype(jnp.float32), 0, 1)  # [bk, bm]
+    a = jnp.abs(xt)
+    pos = jax.lax.broadcasted_iota(jnp.int32, xt.shape, 0) % 4
+
+    def sub_roll(v, s):
+        return pltpu.roll(v, s % v.shape[0], 0)
+
+    m0, m1 = _rank_masks_24(a, pos, sub_roll)
+    # Group compaction [bk, bm] -> [bk//4, bm] on the MXU (see
+    # _compress_kernel): S[g, 4g+j] = 1 contracts the sublane group
+    # axis. f32 throughout (exact for bf16 values).
+    bk = xt.shape[0]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (bk // 4, bk), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (bk // 4, bk), 1)
+    sel = (cc // 4 == rr).astype(jnp.float32)
+
+    def gsum(v):
+        return jax.lax.dot_general(
+            sel, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    v0_ref[...] = gsum(xt * m0.astype(jnp.float32)).astype(v0_ref.dtype)
+    v1_ref[...] = gsum(xt * m1.astype(jnp.float32)).astype(v1_ref.dtype)
+    posf = pos.astype(jnp.float32)
+    i0 = gsum(posf * m0.astype(jnp.float32))
+    i1 = gsum(posf * m1.astype(jnp.float32))
+    codes_ref[...] = (i0 * 4 + i1).astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "kmajor",
+                                              "block_rows", "block_k"))
+def prune_compress_24_pallas(
+    w: jax.Array,
+    interpret: Optional[bool] = None,
+    kmajor: bool = True,
+    block_rows: Optional[int] = None,
+    block_k: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused prune+compress: row-major dense ``w [..., m, k]`` ->
+    k-major planes ``(v0, v1, codes) [k4, M]`` in ONE kernel pass.
+
+    The reference runs prune (`cusparseLtSpMMAPrune`, a full dense
+    read+write) and compress (`cusparseLtSpMMACompress`, another full
+    read) as separate phases (`spmma.hxx:85-103`); since our compress
+    ranking IS the prune ranking, the fusion reads the dense weights
+    once and writes only the compressed planes (~1.25 B/elem out vs
+    2 B/elem in). ``kmajor=True`` additionally folds the k-major
+    relayout into the kernel's VMEM transpose; ``kmajor=False`` writes
+    row-major compact planes and pays one small XLA transpose
+    (compact-size, not dense-size) outside.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    *lead, k = w.shape
+    w2 = w.reshape(-1, k)
+    rows = w2.shape[0]
+    # k4 stores at a multiple of 16 (see compress_24): pad k to 64 and
+    # pick bk as an exact divisor so the planes never over-pad.
+    kp = _round_up(k, 64)
+
+    if kmajor:
+        # Output tile [bk//4, bm]: bm in lanes (mult 128), bk//4 in
+        # sublanes (mult 8 -> bk mult 32; keep <=128 for the transpose).
+        bk = block_k or (128 if kp % 128 == 0 else 64)
+        bm = block_rows or 512
+    else:
+        # Compact planes keep k//4 in lanes: bk = 512 -> 128-lane tiles.
+        bk = block_k or max(
+            d for d in (512, 448, 384, 320, 256, 192, 128, 64)
+            if kp % d == 0
+        )
+        bm = block_rows or 256
+    kpp = _round_up(kp, bk)
+    rp = _round_up(rows, bm)
+    if kpp != k or rp != rows:
+        w2 = jnp.pad(w2, ((0, rp - rows), (0, kpp - k)))
+
+    grid = (rp // bm, kpp // bk)
+    in_spec = pl.BlockSpec((bm, bk), lambda i, j: (i, j),
+                           memory_space=pltpu.VMEM)
+    if kmajor:
+        pspec = pl.BlockSpec((bk // 4, bm), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM)
+        out_shape = [
+            jax.ShapeDtypeStruct((kpp // 4, rp), w.dtype),
+            jax.ShapeDtypeStruct((kpp // 4, rp), w.dtype),
+            jax.ShapeDtypeStruct((kpp // 4, rp), jnp.uint8),
+        ]
+        kernel = _fused_kernel_km
+    else:
+        pspec = pl.BlockSpec((bm, bk // 4), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+        out_shape = [
+            jax.ShapeDtypeStruct((rp, kpp // 4), w.dtype),
+            jax.ShapeDtypeStruct((rp, kpp // 4), w.dtype),
+            jax.ShapeDtypeStruct((rp, kpp // 4), jnp.uint8),
+        ]
+        kernel = _fused_kernel_rm
+    v0, v1, codes = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[in_spec],
+        out_specs=[pspec, pspec, pspec],
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(w2)
+    k4 = kp // 4
+    if not kmajor:
+        v0, v1, codes = v0.T, v1.T, codes.T  # compact-size relayout
+    return v0[:k4, :rows], v1[:k4, :rows], codes[:k4, :rows]

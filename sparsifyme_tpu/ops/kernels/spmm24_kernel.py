@@ -172,21 +172,41 @@ def _kernel_single_cached(v0_ref, v1_ref, codes_ref, b_ref, out_ref,
         out_ref.dtype)
 
 
+def _bm_exact(m, cap):
+    """Exact divisors of the folded row count, so the m axis never pads
+    (a non-dividing bm forces a full jnp.pad copy of every plane at
+    call time AND pays padded FLOPs — +31% on m=196 layers). Mosaic
+    requires lane-dim blocks % 128 == 0 (the planes' last dim is bm),
+    so only 128-multiples qualify; bm == m exactly is exempt."""
+    out = [bm for bm in range(cap - cap % 128, 127, -128) if m % bm == 0]
+    if m <= cap and m % 8 == 0 and m not in out:
+        out.append(m)
+    return out
+
+
+def _pick_bk4(k4):
+    """Single k-step when it fits; otherwise the largest exact divisor
+    (multiple of 16) <= 256 — compress stores k4 at a multiple of 16
+    precisely so an exact divisor exists and the planes never re-pad."""
+    if k4 <= 256:
+        return _round_up(k4, 16)
+    divs = [d for d in range(256, 15, -16) if k4 % d == 0]
+    if divs:
+        return divs[0]
+    return min(
+        range(64, 257, 16),
+        key=lambda c: (_round_up(k4, c), _cdiv(k4, c)),
+    )
+
+
 def _pick_tiles(m, n, k4, dtype_bytes=2, vmem_budget=10 * 1024 * 1024):
     """(bm, bn, bk4): fat tiles under a VMEM budget.
 
-    Preference order: single k-step (bk4 = k4 rounded to 16, up to 256)
-    -> fat bm (amortize per-step fixed cost + deepen B reuse) -> bn.
+    Preference order: no-padding tile edges (exact divisors) -> single
+    k-step -> fat bm (amortize per-step fixed cost + deepen B reuse).
     """
     bn = min(_round_up(n, 128), 512)
-    if k4 <= 256:
-        bk4 = _round_up(k4, 16)
-    else:
-        # Minimize total padded work, then prefer fewer k-steps.
-        bk4 = min(
-            range(64, 257, 16),
-            key=lambda c: (_round_up(k4, c), _cdiv(k4, c)),
-        )
+    bk4 = _pick_bk4(k4)
     # m-tile: fat for small-n (per-step fixed costs dominate the
     # bandwidth-bound regime), small for big-n (measured: bm=512 beats
     # bm=2048 2x on n>=1024 shapes — better MXU pipelining).
@@ -199,6 +219,8 @@ def _pick_tiles(m, n, k4, dtype_bytes=2, vmem_budget=10 * 1024 * 1024):
         bm_pref = (2048, 1536, 1024, 512, 256, 128)
     else:
         bm_pref = (512, 256, 128)
+    # Exact divisors of m first: no plane pad-copy, no padded FLOPs.
+    bm_pref = tuple(_bm_exact(m, bm_pref[0])) + bm_pref
     # VMEM per grid step (double-buffered ins/outs):
     #   planes 5*bk4*bm, B 4*bk4*bn*2, out bm*bn*2, acc bm*bn*4,
     #   expanded A^T 4*bk4*bm*2 (register/VMEM temp).
@@ -339,13 +361,11 @@ def _pick_tiles_fp(m, n, k4, tout, vmem_budget=12 * 1024 * 1024):
     """(bm, bk4, bnp) for the pipelined kernel: one n-tile (bnp = padded
     n), fat m-tiles to amortize per-step cost, bk4 capped at 256."""
     bnp = _round_up(n, 16 if tout else 128)
-    if k4 <= 256:
-        bk4 = _round_up(k4, 16)
-    else:
-        bk4 = min(range(64, 257, 16),
-                  key=lambda c: (_round_up(k4, c), _cdiv(k4, c)))
+    bk4 = _pick_bk4(k4)
     n_k = _cdiv(k4, bk4)
-    for bm in (2048, 1536, 1024, 768, 512, 384, 256, 128):
+    prefs = tuple(_bm_exact(m, 2048)) + (
+        2048, 1536, 1024, 768, 512, 384, 256, 128)
+    for bm in prefs:
         if bm > _round_up(m, 128):
             continue
         need = (

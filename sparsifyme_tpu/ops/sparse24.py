@@ -44,8 +44,14 @@ def compress_24(w: jax.Array) -> Sparse24:
     *lead, m, k = w.shape
     # Fold batch dims into rows (free reshape), pad k to a group
     # multiple, then transpose ONCE into the k-major [kp, M] layout.
+    # k pads to 64 (not 4) so the stored group count k4 is a multiple of
+    # 16 — the bf16 sublane quantum. The SpMM kernels then always find
+    # a tile edge at k4 and never re-pad the planes at call time (a
+    # jnp.pad there is a full HBM copy of A per call — measured as the
+    # round-1 kernels' largest hidden cost on odd-k layers like k=147).
+    # Padded groups hold zeros with valid codes; they contribute 0.
     w2 = w.reshape(-1, k)
-    wp = _pad_to_multiple(w2, -1, 4)
+    wp = _pad_to_multiple(w2, -1, 64)
     if jax.default_backend() == "tpu":
         # Pallas kernel on the k-major transpose: the relayout is the
         # only full-size data movement; group math is in-register.
@@ -106,6 +112,31 @@ def compress_24(w: jax.Array) -> Sparse24:
 
 
 @jax.jit
+def prune_compress_24(w: jax.Array) -> Sparse24:
+    """Fused prune+compress: dense ``w`` -> :class:`Sparse24` in one
+    kernel pass (one HBM read of the dense weights, compact writes).
+
+    The reference runs prune and compress as separate full-size device
+    phases (`cusparseLtSpMMAPrune` + `cusparseLtSpMMACompress`,
+    `spmma.hxx:85-103`); because :func:`compress_24`'s ranking is
+    exactly :func:`~.prune.prune_nm`'s (top-2 magnitude per group of 4,
+    later positions win ties), the fusion is semantically
+    ``compress_24(prune_nm(w)[0])`` — bit-identical planes — at ~1/4 of
+    the HBM traffic (no pruned-dense round trip, no full-size k-major
+    pre-transpose).
+    """
+    *lead, m, k = w.shape
+    if jax.default_backend() == "tpu":
+        from .kernels.prune_kernel import prune_compress_24_pallas
+
+        w2 = w.reshape(-1, k)
+        v0, v1, codes = prune_compress_24_pallas(w2)
+        return Sparse24(values0=v0, values1=v1, codes=codes, shape=w.shape)
+    # XLA path: compress_24 already selects top-2 per group from dense.
+    return compress_24(w)
+
+
+@jax.jit
 def decompress_24(s: Sparse24) -> jax.Array:
     """Expand a :class:`Sparse24` back to dense (the exact inverse of
     :func:`compress_24` up to the pruned zeros).
@@ -145,14 +176,33 @@ import collections
 
 _Cfg = collections.namedtuple(
     "_Cfg",
-    "k_logical out_dtype block_m block_n block_k4 interpret transpose_out",
+    "k_logical out_dtype block_m block_n block_k4 interpret transpose_out "
+    "pipeline",
 )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _spmm24_core(cfg: "_Cfg", v0, v1, codes, b):
-    from .kernels.spmm24_kernel import spmm24_pallas
+    from .kernels.spmm24_kernel import spmm24_pallas, spmm24_pallas_fp
 
+    if cfg.pipeline:
+        # Fully-pipelined formulation: single n-tile, VPU expand of
+        # k-tile t overlapping the MXU dot of t-1 through
+        # double-buffered VMEM slabs. Wins on most bandwidth-bound
+        # layers; the classic grid wins elsewhere — matmul_search /
+        # the bench harness picks per shape (the alg-selection story).
+        return spmm24_pallas_fp(
+            v0,
+            v1,
+            codes,
+            b,
+            k_logical=cfg.k_logical,
+            out_dtype=cfg.out_dtype,
+            block_m=cfg.block_m,
+            block_k4=cfg.block_k4,
+            interpret=cfg.interpret,
+            transpose_out=cfg.transpose_out,
+        )
     return spmm24_pallas(
         v0,
         v1,
@@ -235,6 +285,7 @@ def spmm_24(
     block_k4: Optional[int] = None,
     interpret: Optional[bool] = None,
     transpose_out: bool = False,
+    pipeline: bool = False,
 ) -> jax.Array:
     """Structured-sparse matmul ``decompress(s) @ b`` on the MXU.
 
@@ -281,6 +332,7 @@ def spmm_24(
         block_k4=block_k4,
         interpret=interpret,
         transpose_out=transpose_out,
+        pipeline=pipeline,
     )
     out = _spmm24_core(cfg, s.values0, s.values1, s.codes, b)
     # alpha/beta epilogue around the differentiable core: XLA fuses the

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from .containers import Sparse24
 from .ops.prune import prune_check_nm, prune_nm
-from .ops.sparse24 import compress_24, spmm_24
+from .ops.sparse24 import compress_24, prune_compress_24, spmm_24
 from .utils.timing import Timing, time_fn, time_kernel
 
 
@@ -90,8 +90,11 @@ class SpmmaPlan:
                 block_k4=cfg.block_k4,
             )
         )
+        # Fused pipeline: prune+compress collapse into ONE kernel
+        # pass (ops.sparse24.prune_compress_24 — same selection
+        # semantics, ~1/4 the HBM traffic of the two-phase path).
         self._fused = jax.jit(
-            lambda a, b: self._matmul(self._compress(self._prune(a)), b)
+            lambda a, b: self._matmul(prune_compress_24(a), b)
         )
         self._operand: Optional[Sparse24] = None
         # Set by matmul_search (the alg_id analog); None = heuristic.
@@ -136,25 +139,30 @@ class SpmmaPlan:
         candidate kernel configurations on device and pin the winner
         into this plan — subsequent `matmul`/`matmul_cached`/`__call__`
         use it. A candidate is ``(block_m, block_n, block_k4,
-        transpose_out)``; ``None`` entries defer to the shape heuristic.
-        Returns the winning candidate (the `alg_id` analog).
+        transpose_out[, pipeline])``; ``None`` entries defer to the
+        shape heuristic, ``pipeline`` selects the fully-pipelined
+        kernel formulation. Returns the winning candidate (the
+        `alg_id` analog).
         """
         cfg = self.config
         if candidates is None:
             candidates = (
-                (None, None, None, False),   # heuristic, row-major C
-                (None, None, None, True),    # heuristic, C^T
+                (None, None, None, False),        # heuristic, row-major C
+                (None, None, None, True),         # heuristic, C^T
+                (None, None, None, False, True),  # pipelined
+                (None, None, None, True, True),   # pipelined, C^T
                 (512, None, None, False),
                 (1024, None, None, True),
                 (2048, None, None, True),
             )
         best, best_ms = None, float("inf")
         for cand in candidates:
-            bm_, bn_, bk4_, tout = cand
+            bm_, bn_, bk4_, tout = cand[:4]
+            pipe = cand[4] if len(cand) > 4 else False
             fn = functools.partial(
                 spmm_24, out_dtype=jnp.dtype(cfg.out_dtype),
                 block_m=bm_, block_n=bn_, block_k4=bk4_,
-                transpose_out=tout,
+                transpose_out=tout, pipeline=pipe,
             )
             try:
                 t = time_kernel(fn, (s, b), carrier=1, iters=iters,
@@ -166,17 +174,18 @@ class SpmmaPlan:
                 best, best_ms = cand, t.ms
         if best is None:
             raise RuntimeError("matmul_search: no feasible candidate")
-        bm_, bn_, bk4_, tout = best
+        bm_, bn_, bk4_, tout = best[:4]
+        pipe = best[4] if len(best) > 4 else False
         self.algorithm = best
         self._matmul = jax.jit(
             functools.partial(
                 spmm_24, out_dtype=jnp.dtype(cfg.out_dtype),
                 block_m=bm_, block_n=bn_, block_k4=bk4_,
-                transpose_out=tout,
+                transpose_out=tout, pipeline=pipe,
             )
         )
         self._fused = jax.jit(
-            lambda a, b: self._matmul(self._compress(self._prune(a)), b)
+            lambda a, b: self._matmul(prune_compress_24(a), b)
         )
         return best
 
@@ -196,7 +205,12 @@ class SpmmaPlan:
         out = self._matmul(s, b)
         t_mul = time_kernel(self._matmul, (s, b), carrier=1, iters=iters,
                             reps=reps)
-        return out, {"prune": t_prune, "compress": t_compress, "mul": t_mul}
+        # The fused prune+compress single-pass kernel (what __call__
+        # actually runs) — reported alongside the contract triple.
+        t_fused = time_kernel(prune_compress_24, (a,), iters=iters,
+                              reps=reps)
+        return out, {"prune": t_prune, "compress": t_compress,
+                     "mul": t_mul, "fused": t_fused}
 
 
 @functools.lru_cache(maxsize=256)

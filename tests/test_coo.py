@@ -88,3 +88,51 @@ def test_coo_to_ell_threshold_pipeline(rng):
     np.testing.assert_allclose(
         np.asarray(ell_to_dense(e)), np.asarray(pruned), atol=1e-7
     )
+
+
+@pytest.mark.parametrize("density", [0.5, 0.3, 0.1])
+@pytest.mark.parametrize("shape", [(256, 384, 96), (200, 130, 64),
+                                   (128, 128, 128)])
+def test_coo_segmented_kernel_matches_oracle(rng, density, shape):
+    # Pallas segmented block-row kernel vs the XLA gather/segment-sum
+    # oracle, at the cross-check's sparsity levels (50/70/90%).
+    from sparsifyme_tpu.ops.coo import spmm_coo_segmented
+
+    m, k, n = shape
+    w = _sparse(rng, m, k, density=density)
+    a = coo_from_dense(w)
+    b = jnp.asarray(rng.normal(size=(k, n)), jnp.float32)
+    want = spmm_coo(a, b, out_dtype=jnp.float32)
+    got = spmm_coo_segmented(a, b, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_coo_segmented_batched_shared_a(rng):
+    # Shared sparse A broadcast over batched B (stride-0 semantics);
+    # batch folds into the n axis.
+    from sparsifyme_tpu.ops.coo import spmm_coo_segmented
+
+    w = _sparse(rng, 128, 96, density=0.2)
+    a = coo_from_dense(w)
+    b = jnp.asarray(rng.normal(size=(4, 96, 48)), jnp.float32)
+    want = spmm_coo(a, b, out_dtype=jnp.float32)
+    got = spmm_coo_segmented(a, b, out_dtype=jnp.float32)
+    assert got.shape == (4, 128, 48)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_coo_segmented_duplicate_entries():
+    # Duplicate (row, col) pairs must accumulate (one-hot matmul sums).
+    from sparsifyme_tpu.containers import Coo
+    from sparsifyme_tpu.ops.coo import spmm_coo_segmented
+
+    a = Coo(rows=jnp.asarray([0, 0, 5, 5], jnp.int32),
+            cols=jnp.asarray([1, 1, 2, 2], jnp.int32),
+            values=jnp.asarray([1.0, 2.0, 3.0, 4.0], jnp.float32),
+            shape=(8, 8))
+    b = jnp.eye(8, dtype=jnp.float32)
+    got = np.asarray(spmm_coo_segmented(a, b, out_dtype=jnp.float32))
+    assert got[0, 1] == 3.0 and got[5, 2] == 7.0
+    assert got.sum() == 10.0

@@ -81,10 +81,15 @@ def test_compress_24_matches_jax(rng):
     pn, _ = native.prune_nm(w, 2, 4)
     v0, v1, codes = native.compress_24(pn)
     s = sparse24.compress_24(jnp.asarray(pn))
-    # native host layout is [m, k4]; JAX planes are k-major [k4, m].
-    np.testing.assert_array_equal(v0, np.asarray(s.values0).T)
-    np.testing.assert_array_equal(v1, np.asarray(s.values1).T)
-    np.testing.assert_array_equal(codes, np.asarray(s.codes).T)
+    # native host layout is [m, k4] at the LOGICAL group count; JAX
+    # planes are k-major [k4_store, m] with k4_store padded to a
+    # multiple of 16 (zero values in the pad region).
+    k4 = v0.shape[1]
+    np.testing.assert_array_equal(v0, np.asarray(s.values0).T[:, :k4])
+    np.testing.assert_array_equal(v1, np.asarray(s.values1).T[:, :k4])
+    np.testing.assert_array_equal(codes, np.asarray(s.codes).T[:, :k4])
+    assert not np.asarray(s.values0)[k4:].any()
+    assert not np.asarray(s.values1)[k4:].any()
     np.testing.assert_array_equal(native.decompress_24(v0, v1, codes, 32), pn)
 
 

@@ -63,7 +63,7 @@ def test_spmma_one_shot_timed(rng):
     b = _rand(rng, (32, 8))
     out, times = spmma(a, b, timed=True)
     assert out.shape == (4, 16, 8)
-    assert set(times) == {"prune", "compress", "mul"}
+    assert set(times) == {"prune", "compress", "mul", "fused"}
     assert all(t.ms > 0 for t in times.values())
 
 

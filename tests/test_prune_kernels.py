@@ -49,8 +49,42 @@ def test_compress_kernel_matches_op(rng, rows, k, dtype):
     w = jnp.asarray(rng.normal(size=(rows, k)), dtype)
     pw, _ = prune_nm(w, 2, 4)
     s = compress_24(pw)
-    wp = jnp.pad(pw, ((0, 0), (0, (-k) % 4)))
+    # Storage contract: k pads to 64 so k4 is a multiple of 16
+    # (sublane quantum) and the SpMM kernels never re-pad planes.
+    wp = jnp.pad(pw, ((0, 0), (0, (-k) % 64)))
     v0, v1, codes = compress_24_pallas(jnp.swapaxes(wp, 0, 1))
     assert np.array_equal(np.asarray(s.values0), np.asarray(v0))
     assert np.array_equal(np.asarray(s.values1), np.asarray(v1))
     assert np.array_equal(np.asarray(s.codes), np.asarray(codes))
+
+
+@pytest.mark.parametrize("rows,k", [(320, 148), (64, 64), (128, 2304),
+                                    (1000, 64)])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("kmajor", [True, False])
+def test_fused_prune_compress_matches_two_phase(rng, rows, k, dtype,
+                                                kmajor):
+    # Fused kernel == compress(prune(w)) bit-for-bit (planes and codes).
+    from sparsifyme_tpu.ops.kernels.prune_kernel import (
+        prune_compress_24_pallas)
+
+    w = jnp.asarray(rng.normal(size=(rows, k)), dtype)
+    pw, _ = prune_nm(w, 2, 4)
+    want = compress_24(pw)
+    v0, v1, codes = prune_compress_24_pallas(w, kmajor=kmajor)
+    assert np.array_equal(np.asarray(want.values0), np.asarray(v0))
+    assert np.array_equal(np.asarray(want.values1), np.asarray(v1))
+    assert np.array_equal(np.asarray(want.codes), np.asarray(codes))
+
+
+def test_fused_prune_compress_op_batched(rng):
+    # Public op: batched input, spmm parity with the two-phase pipeline.
+    from sparsifyme_tpu.ops.sparse24 import prune_compress_24, spmm_24
+
+    w = jnp.asarray(rng.normal(size=(3, 100, 148)), jnp.bfloat16)
+    b = jnp.asarray(rng.normal(size=(148, 64)), jnp.bfloat16)
+    pw, _ = prune_nm(w, 2, 4)
+    want = spmm_24(compress_24(pw), b, out_dtype=jnp.float32)
+    got = spmm_24(prune_compress_24(w), b, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
