@@ -368,16 +368,32 @@ def prune_compress_24_pallas(
     kp = _round_up(k, 64)
 
     if kmajor:
-        # Output tile [bk//4, bm]: bm in lanes (mult 128), bk//4 in
-        # sublanes (mult 8 -> bk mult 32; keep <=128 for the transpose).
-        bk = block_k or (128 if kp % 128 == 0 else 64)
-        bm = block_rows or 512
+        # Input tile [bm, bk]: Mosaic requires the lane-dim block to be a
+        # multiple of 128 OR the full array width. Prefer bk=128; for
+        # non-128-multiple kp take one full-width tile (grid j = 1) up to
+        # a VMEM-safe width, else pad lanes to a 128 multiple (the padded
+        # groups compress to zero planes and are sliced off below).
+        if block_k:
+            bk = block_k
+        elif kp % 128 == 0:
+            bk = 128
+        elif kp <= 768:
+            bk = kp
+        else:
+            bk = 128
+        bm = block_rows or (512 if bk <= 128 else 256)
     else:
-        # Compact planes keep k//4 in lanes: bk = 512 -> 128-lane tiles.
-        bk = block_k or max(
-            d for d in (512, 448, 384, 320, 256, 192, 128, 64)
-            if kp % d == 0
-        )
+        # Compact planes keep k//4 in lanes: the OUTPUT tile [bm, bk//4]
+        # needs bk//4 % 128 == 0 (bk mult of 512) or full-width. Same
+        # rule as above, scaled by the 4x group compaction.
+        if block_k:
+            bk = block_k
+        elif kp % 512 == 0:
+            bk = 512
+        elif kp <= 2048:
+            bk = kp
+        else:
+            bk = 512
         bm = block_rows or 256
     kpp = _round_up(kp, bk)
     rp = _round_up(rows, bm)

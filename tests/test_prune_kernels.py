@@ -59,7 +59,10 @@ def test_compress_kernel_matches_op(rng, rows, k, dtype):
 
 
 @pytest.mark.parametrize("rows,k", [(320, 148), (64, 64), (128, 2304),
-                                    (1000, 64)])
+                                    (1000, 64),
+                                    # non-128-multiple kp tile branches
+                                    # (full-width lane block / lane pad):
+                                    (64, 147), (72, 576), (40, 1200)])
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 @pytest.mark.parametrize("kmajor", [True, False])
 def test_fused_prune_compress_matches_two_phase(rng, rows, k, dtype,
