@@ -122,14 +122,21 @@ def config2_coo_resnet101(quick: bool = False) -> Dict:
             packed = pack_coo(coo)
             t_seg = time_kernel(
                 lambda v, c, r, y: spmm_coo_segmented(
-                    coo, y, packed=(v, c, r)),
+                    coo, y, packed=(v, c, r), gather="matmul"),
                 (*packed, bm), carrier=3, iters=4, reps=3)
-            best = min(t.ms, t_seg.ms)
+            t_sl = time_kernel(
+                lambda v, c, r, y: spmm_coo_segmented(
+                    coo, y, packed=(v, c, r), gather="slices"),
+                (*packed, bm), carrier=3, iters=4, reps=3)
+            best = min(t.ms, t_seg.ms, t_sl.ms)
             rows.append({
                 "m": s.m, "n": s.n, "k": s.k, "b": s.b, "sparsity": sp,
                 "dense_ms": t_dense.ms, "coo_xla_ms": t.ms,
-                "coo_seg_ms": t_seg.ms,
-                "nnz_per_s": nnz * s.n * s.b / (best * 1e-3) / s.n,
+                "coo_seg_ms": t_seg.ms, "coo_seg_slices_ms": t_sl.ms,
+                # Same convention as the harness's 2:4 column: total
+                # sparse-operand nonzeros touched across the batch per
+                # second (the shared A is re-used by each batch element).
+                "nnz_per_s": nnz * s.b / (best * 1e-3),
                 "speedup_vs_dense": t_dense.ms / best,
             })
     wins = [r for r in rows if r["speedup_vs_dense"] > 1.0]
@@ -193,48 +200,79 @@ def config4_row_partitioned_scaling(quick: bool = False) -> Dict:
 
     from jax.sharding import Mesh
     from ..ops.prune import prune_nm
-    from ..ops.sparse24 import compress_24, spmm_24
+    from ..ops.sparse24 import compress_24
     from ..parallel.spmm_sharded import spmm_24_ring
 
     nd = len(jax.devices())
-    # Batched A (configs[4] mandates *batched* row-partitioned SpMM);
-    # batch folds into rows, so every P divides the folded row count.
-    bsz, m, n, k = (2, 512, 256, 512) if quick else (8, 1024, 512, 2048)
-    a = jax.random.normal(jax.random.PRNGKey(0), (bsz, m, k), jnp.float32)
-    bm = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32)
-    s = jax.jit(lambda x: compress_24(prune_nm(x, 2, 4)[0]))(a)
+    # WEAK scaling: per-device work is fixed (batch grows with P), so
+    # the reported curve is interpretable even on the emulated CPU mesh
+    # -- a fixed small problem strong-scaled across 8 host threads
+    # measured scheduler noise, not the kernel (round-2 verdict). The
+    # ring code path runs at EVERY P including 1 (P=1 is the ring with
+    # zero rotations, not the single-chip kernel).
+    bsz0, m, n, k = (2, 256, 128, 512) if quick else (4, 1024, 256, 2048)
 
-    t1 = time_kernel(spmm_24, (s, bm), carrier=1, iters=4, reps=3)
-    nnz = bsz * m * (k // 2)
+    def run_p(p):
+        bsz = bsz0 * p
+        a = jax.random.normal(jax.random.PRNGKey(0), (bsz, m, k),
+                              jnp.float32)
+        bm = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32)
+        s = jax.jit(lambda x: compress_24(prune_nm(x, 2, 4)[0]))(a)
+        mesh = Mesh(np.array(jax.devices()[:p]), ("model",))
+        ring = jax.jit(
+            lambda ss, y, _mesh=mesh: spmm_24_ring(ss, y, _mesh, "model"))
+        tP = time_kernel(ring, (s, bm), carrier=1, iters=4, reps=3)
+        nnz = bsz * m * (k // 2)
+        return {
+            "devices": p,
+            "batch": bsz,
+            "ring_ms": tP.ms,
+            "nnz_per_s_per_device": nnz / (tP.ms * 1e-3) / p,
+        }
 
     points = []
     p = 1
     while p <= nd:
-        if p == 1:
-            tP = t1
-        else:
-            mesh = Mesh(np.array(jax.devices()[:p]), ("model",))
-            with mesh:
-                ring = jax.jit(
-                    lambda ss, y, _mesh=mesh: spmm_24_ring(
-                        ss, y, _mesh, "model"))
-                tP = time_kernel(ring, (s, bm), carrier=1, iters=4,
-                                 reps=3)
-        points.append({
-            "devices": p,
-            "ring_ms": tP.ms,
-            "nnz_per_s_per_device": nnz / (tP.ms * 1e-3) / p,
-            "scaling_efficiency": t1.ms / (tP.ms * p),
-        })
+        points.append(run_p(p))
         p *= 2
+    base = points[0]["nnz_per_s_per_device"]
+    for pt in points:
+        pt["scaling_efficiency"] = pt["nnz_per_s_per_device"] / base
+
+    # Overlap evidence: the explicit double-buffered RDMA ring kernel
+    # (pltpu.make_async_remote_copy, parallel.ring_kernel) -- structural
+    # compute/comm overlap, verified here against the ppermute path on
+    # the full mesh via the TPU interpreter (timing it would measure
+    # the interpreter, so only parity is reported).
+    from jax.experimental.pallas import tpu as pltpu
+    from ..parallel.ring_kernel import spmm_24_ring_pallas
+
+    pv = min(4, nd)
+    bszv = bsz0 * pv
+    a = jax.random.normal(jax.random.PRNGKey(0), (bszv, m, k), jnp.float32)
+    bm = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32)
+    s = jax.jit(lambda x: compress_24(prune_nm(x, 2, 4)[0]))(a)
+    mesh = Mesh(np.array(jax.devices()[:pv]), ("model",))
+    want = spmm_24_ring(s, bm, mesh, "model", out_dtype=jnp.float32)
+    got = spmm_24_ring_pallas(
+        s, bm, mesh, "model", out_dtype=jnp.float32,
+        interpret=(pltpu.InterpretParams(detect_races=True)
+                   if jax.default_backend() != "tpu" else None))
+    err = float(jnp.max(jnp.abs(got - want)) /
+                (jnp.max(jnp.abs(want)) + 1e-9))
     return {
         "config": 4,
-        "shape": {"b": bsz, "m": m, "n": n, "k": k},
-        "single_ms": t1.ms,
+        "shape": {"b_per_device": bsz0, "m": m, "n": n, "k": k},
         "points": points,
-        "note": "CPU-mesh emulation unless run on a pod slice; "
-                "efficiency = t1 / (tP * P) (strong scaling, fixed "
-                "problem)",
+        "explicit_overlap_ring": {
+            "kernel": "parallel.ring_kernel.spmm_24_ring_pallas "
+                      "(double-buffered pltpu.make_async_remote_copy)",
+            "devices": pv,
+            "max_rel_err_vs_ppermute": err,
+            "race_detection": jax.default_backend() != "tpu",
+        },
+        "note": "weak scaling (fixed per-device work), ring path at "
+                "every P; CPU-mesh emulation unless run on a pod slice",
     }
 
 

@@ -86,7 +86,7 @@ def run(kernel: str, m: int, n: int, k: int = 0, b: int = 1) -> None:
         a = jax.random.normal(key, (b, m, k), jnp.bfloat16)
         bm = jax.random.normal(key, (k, n), jnp.bfloat16)
         plan = get_plan(SpmmaConfig(m=m, n=n, k=k, batch=b))
-        _, times = plan.timed(a, bm, warmup=2, iters=8, reps=3)
+        _, times = plan.timed(a, bm, iters=8, reps=3)
         print(f"Prune time: {times['prune'].ms:.6f}")
         print(f"Compress time: {times['compress'].ms:.6f}")
         print(f"Matmul time: {times['mul'].ms:.6f}")

@@ -99,6 +99,13 @@ def bench_shape(
     bm = jax.random.normal(kb, (k, n), dtype)
     out: Dict[str, float] = {}
     flops = 2.0 * m * n * k * b
+    # Committed per-shape algorithm table (the cusparseLt alg-cache
+    # analog, bench.tuning): when an entry exists, time ONLY the winning
+    # configuration instead of racing candidates — round 2's live
+    # 13-variant search did not fit the driver budget.
+    from .tuning import lookup
+
+    tuned = lookup(m, n, k, b) or {}
 
     def _mark(what: str) -> None:
         if verbose:
@@ -112,17 +119,19 @@ def bench_shape(
         # The dense baseline is the BEST dense formulation: shared-B
         # batches folded into one fat matmul vs XLA's batched path
         # (tall-skinny shapes sometimes favor the latter).
-        t_fold = time_kernel(
-            lambda x, y: batched_gemm(x, y, out_dtype=dtype),
-            (a, bm), carrier=1, iters=iters, reps=reps,
-        )
-        t_bat = time_kernel(
-            lambda x, y: batched_gemm(x, y, out_dtype=dtype, fold=False),
-            (a, bm), carrier=1, iters=iters, reps=reps,
-        )
+        folds = ((tuned["gemm"]["fold"],) if "gemm" in tuned
+                 else (True, False))
+        cands_g = [
+            time_kernel(
+                lambda x, y, _f=f: batched_gemm(x, y, out_dtype=dtype,
+                                                fold=_f),
+                (a, bm), carrier=1, iters=iters, reps=reps,
+            )
+            for f in folds
+        ]
         best = min(
-            (t for t in (t_fold, t_bat) if t.ms > 0),
-            key=lambda t: t.ms, default=t_fold,
+            (t for t in cands_g if t.ms > 0),
+            key=lambda t: t.ms, default=cands_g[0],
         )
         out["gemm_ms"] = best.ms
         out["gemm_tflops"] = (
@@ -164,18 +173,49 @@ def bench_shape(
         s = jax.jit(compress_24)(pruned)
         _mark("spmm24")
         # Output layout and kernel formulation are the library's to
-        # choose (the cusparseLt alg-selection analog): best of
-        # {row-major C, C^T} x {classic grid, fully-pipelined} — the
-        # same search matmul_search runs when building a plan.
-        cands24 = []
-        for tr in (False, True):
-            for pipe in (False, True):
-                cands24.append(time_kernel(
-                    lambda ss, y, _t=tr, _p=pipe: spmm_24(
-                        ss, y, out_dtype=dtype, transpose_out=_t,
-                        pipeline=_p),
+        # choose (the cusparseLt alg-selection analog): the committed
+        # tuning-table winner when present, else best of {row-major C,
+        # C^T} x {classic grid, fully-pipelined} — the same search
+        # matmul_search runs when building a plan.
+        e24 = tuned.get("spmm24", {})
+        if e24.get("packed"):
+            # Packed-codes pipelined kernel (direct call; the split-half
+            # pack happens at format-build time, outside the loop).
+            from ..ops.sparse24 import pack_codes_fp
+            from ..ops.kernels.spmm24_kernel import spmm24_pallas_fp
+
+            cp = jax.jit(pack_codes_fp)(s.codes)
+            kp = 4 * s.values0.shape[0]
+            bp24 = jnp.pad(bm, ((0, kp - k), (0, 0)))
+            cands24 = [time_kernel(
+                lambda v0, v1, c2, y: spmm24_pallas_fp(
+                    v0, v1, c2, y, k_logical=k, out_dtype=dtype,
+                    transpose_out=e24.get("transpose_out", False),
+                    packed_codes=True),
+                (s.values0, s.values1, cp, bp24), carrier=3,
+                iters=iters, reps=reps,
+            )]
+        else:
+            if e24:
+                variants = [dict(
+                    block_m=e24.get("block_m"), block_n=e24.get("block_n"),
+                    block_k4=e24.get("block_k4"),
+                    transpose_out=e24.get("transpose_out", False),
+                    pipeline=e24.get("pipeline", False),
+                )]
+            else:
+                variants = [
+                    dict(transpose_out=tr, pipeline=pipe)
+                    for tr in (False, True) for pipe in (False, True)
+                ]
+            cands24 = [
+                time_kernel(
+                    lambda ss, y, _kw=kw: spmm_24(ss, y, out_dtype=dtype,
+                                                  **_kw),
                     (s, bm), carrier=1, iters=iters, reps=reps,
-                ))
+                )
+                for kw in variants
+            ]
         t = min((x for x in cands24 if x.ms > 0),
                 key=lambda x: x.ms, default=cands24[0])
         out["spmm24_ms"] = t.ms
@@ -191,8 +231,11 @@ def bench_shape(
         # square-128 block needs k >= 256 before sparsity is
         # expressible). Large-k layers take wider edges: fewer, fatter
         # gather slabs per block-row amortize the VMEM slice cost.
-        bs = 128
-        bkb = 32 if k < 512 else (64 if k < 1536 else 128)
+        # Geometry/formulation come from the tuning table when present.
+        te = tuned.get("ell", {})
+        bs = te.get("block_size", 128)
+        bkb = te.get("block_k") or (
+            32 if k < 512 else (64 if k < 1536 else 128))
         kp = _round_up(k, 2 * bkb)
         mp = _round_up(m, bs)
         ell_blocks = max(1, (kp // bkb) // 2)  # 50% block sparsity
@@ -203,18 +246,23 @@ def bench_shape(
                                      ell_blocks=ell_blocks, block_k=bkb)
         )(ap)
 
+        if te:
+            gather_touts = ((te["transpose_out"],)
+                            if te.get("formulation") == "gather" else ())
+            expand_touts = ((te["transpose_out"],)
+                            if te.get("formulation") == "expand" else ())
+        else:
+            gather_touts = (False, True)
+            expand_touts = (False, True) if k < 512 else ()
         cands = [
             time_kernel(
-                lambda ee, y: spmm_ell(ee, y, out_dtype=dtype),
+                lambda ee, y, _tr=tr: spmm_ell(ee, y, out_dtype=dtype,
+                                               transpose_out=_tr),
                 (e, bp), carrier=1, iters=iters, reps=reps,
-            ),
-            time_kernel(
-                lambda ee, y: spmm_ell(ee, y, out_dtype=dtype,
-                                       transpose_out=True),
-                (e, bp), carrier=1, iters=iters, reps=reps,
-            ),
+            )
+            for tr in gather_touts
         ]
-        if k < 512:
+        if expand_touts:
             # Small-k: the expand-in-VMEM formulation (dense FLOPs,
             # half the A bytes) usually beats the gather kernel, whose
             # per-block-row dots are too shallow to feed the MXU. The
@@ -226,7 +274,7 @@ def bench_shape(
 
             vkm = jax.jit(ell_values_kmajor)(e)
             cols = e.col_indices.reshape(-1, e.col_indices.shape[-1])
-            for tr in (False, True):
+            for tr in expand_touts:
                 cands.append(time_kernel(
                     lambda v, y, c, _tr=tr: ell_expand_spmm_pallas(
                         v, c, y, block_size=bs, block_k=bkb,
@@ -253,7 +301,9 @@ def bench_shape(
     # against on compute-bound layers, where SoL itself is ~1.0x.
     from .roofline import dense_sol_ms, spmm24_sol_ms
 
-    out["sol24_ms"] = spmm24_sol_ms(m, n, k, b)
+    out["sol24_ms"] = spmm24_sol_ms(
+        m, n, k, b,
+        packed_codes=bool(tuned.get("spmm24", {}).get("packed")))
     out["sol_speedup"] = dense_sol_ms(m, n, k, b) / out["sol24_ms"]
     if out.get("spmm24_ms", 0) > 0:
         out["spmm24_frac_sol"] = out["sol24_ms"] / out["spmm24_ms"]

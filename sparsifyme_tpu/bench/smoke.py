@@ -1,0 +1,235 @@
+"""TPU compile-smoke gate: run EVERY Pallas kernel on the real chip.
+
+Round 2 shipped a Mosaic lowering crash (k=147 fused kernel) past 175
+green CPU tests — interpret-mode Pallas cannot catch Mosaic/VMEM
+failures. This gate compiles and runs every kernel formulation x
+transpose variant x epilogue over a shape set chosen to hit the
+Mosaic-sensitive tile configurations (odd k=147/650/1920, m=196, m=1,
+f32 fallbacks), checking numerics against the XLA oracles.
+
+Run before every round-ending commit::
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python -m sparsifyme_tpu.bench.smoke \
+        | tee results/tpu_smoke.log
+
+Exit status is nonzero on any failure. (`SURVEY.md` §4: the reference's
+only runtime check is `cusparseLtSpMMAPruneCheck`; this is the TPU
+equivalent of that oracle check, widened to the whole kernel surface.)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FAILURES = []
+
+
+def _report(name: str, ok: bool, detail: str = "") -> None:
+    print(f"  {'OK  ' if ok else 'FAIL'} {name} {detail}", flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def _close(name, got, want, tol) -> None:
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    err = float(np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9))
+    _report(name, err < tol, f"rel_err={err:.2e}")
+
+
+def _equal(name, got, want) -> None:
+    _report(name, np.array_equal(np.asarray(got, np.float32),
+                                 np.asarray(want, np.float32)))
+
+
+def check_24(b, m, k, n, dtype=jnp.bfloat16, tol=2e-2):
+    """prune / compress / fused / spmm24 (all variants) on one shape."""
+    from ..ops.prune import prune_nm
+    from ..ops.sparse24 import (compress_24, prune_compress_24, spmm_24,
+                                spmm_24_reference)
+    from ..ops.kernels.prune_kernel import prune_compress_24_pallas
+
+    tag = f"[{b}x{m}x{k}x{n} {jnp.dtype(dtype).name}]"
+    key = jax.random.PRNGKey(hash((b, m, k, n)) % 2**31)
+    a = jax.random.normal(key, (b, m, k), dtype)
+    bm = jax.random.normal(jax.random.PRNGKey(1), (k, n), dtype)
+
+    pruned = jax.jit(lambda x: prune_nm(x, 2, 4)[0])(a)
+    s = jax.jit(compress_24)(pruned)
+    s2 = jax.jit(prune_compress_24)(a)
+    _equal(f"{tag} fused(kmajor) == compress(prune)",
+           (s2.values0, s2.values1, s2.codes.astype(jnp.int32)),
+           (s.values0, s.values1, s.codes.astype(jnp.int32)))
+    v0, v1, codes = jax.jit(
+        lambda x: prune_compress_24_pallas(x.reshape(-1, k),
+                                           kmajor=False))(a)
+    _equal(f"{tag} fused(rowmajor) == compress(prune)",
+           (v0, v1, codes.astype(jnp.int32)),
+           (s.values0, s.values1, s.codes.astype(jnp.int32)))
+
+    want = spmm_24_reference(s, bm, out_dtype=jnp.float32)
+    for pipe in (False, True):
+        for tout in (False, True):
+            got = spmm_24(s, bm, out_dtype=jnp.float32, pipeline=pipe,
+                          transpose_out=tout)
+            if tout:
+                got = np.asarray(got).T.reshape(want.shape)
+            _close(f"{tag} spmm24 pipe={int(pipe)} tout={int(tout)}",
+                   got, want, tol)
+    # alpha/beta epilogue through the pipelined kernel's fused store.
+    c0 = jax.random.normal(jax.random.PRNGKey(2), want.shape,
+                           jnp.float32)
+    got = spmm_24(s, bm, out_dtype=jnp.float32, alpha=0.5, beta=2.0,
+                  c=c0, pipeline=True)
+    _close(f"{tag} spmm24 alpha/beta", got, 0.5 * want + 2.0 * c0, tol)
+
+
+def check_grad(b, m, k, n):
+    from ..ops.prune import prune_nm
+    from ..ops.sparse24 import compress_24, spmm_24
+
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (b, m, k), jnp.bfloat16)
+    bm = jax.random.normal(key, (k, n), jnp.bfloat16)
+    s = jax.jit(lambda x: compress_24(prune_nm(x, 2, 4)[0]))(a)
+
+    g = jax.jit(jax.grad(
+        lambda y: jnp.sum(spmm_24(s, y, out_dtype=jnp.float32))))(bm)
+    _report(f"[{b}x{m}x{k}x{n}] spmm24 VJP (dB) compiles+runs",
+            bool(jnp.all(jnp.isfinite(g.astype(jnp.float32)))))
+
+
+def check_ell(b, m, k, n, tol=2e-2):
+    from ..ops.ell import (ell_from_dense, ell_values_kmajor, spmm_ell,
+                           spmm_ell_reference)
+    from ..ops.kernels.ell_kernel import ell_expand_spmm_pallas
+
+    tag = f"[{b}x{m}x{k}x{n}] ell"
+    bs = 128
+    bkb = 32 if k < 512 else 64
+    kp = -(-k // (2 * bkb)) * (2 * bkb)
+    mp = -(-m // bs) * bs
+    key = jax.random.PRNGKey(3)
+    a = jax.random.normal(key, (b, m, k), jnp.bfloat16)
+    ap = jnp.pad(a, ((0, 0), (0, mp - m), (0, kp - k)))
+    bm = jax.random.normal(key, (kp, n), jnp.bfloat16)
+    ell_blocks = max(1, (kp // bkb) // 2)
+    e = jax.jit(lambda x: ell_from_dense(
+        x, block_size=bs, ell_blocks=ell_blocks, block_k=bkb))(ap)
+    want = spmm_ell_reference(e, bm, out_dtype=jnp.float32)
+    for tout in (False, True):
+        got = spmm_ell(e, bm, out_dtype=jnp.float32, transpose_out=tout)
+        if tout:
+            got = np.asarray(got).swapaxes(-1, -2).reshape(want.shape)
+        _close(f"{tag} gather tout={int(tout)}", got, want, tol)
+    vkm = jax.jit(ell_values_kmajor)(e)
+    cols = e.col_indices.reshape(-1, e.col_indices.shape[-1])
+    for tout in (False, True):
+        got = ell_expand_spmm_pallas(
+            vkm, cols, bm, block_size=bs, block_k=bkb,
+            out_dtype=jnp.float32, transpose_out=tout)
+        got = np.asarray(got)
+        if tout:
+            got = got.T
+        _close(f"{tag} expand tout={int(tout)}",
+               got.reshape(want.shape), want, tol)
+
+
+def check_coo(m, k, n, batch, sparsity=0.7, tol=2e-2):
+    from ..ops.coo import (coo_from_dense, pack_coo, spmm_coo,
+                           spmm_coo_segmented)
+    from ..ops.prune import prune_threshold
+
+    tag = f"[{m}x{k} n={n} b={batch}] coo"
+    a = jax.random.normal(jax.random.PRNGKey(4), (m, k), jnp.float32)
+    thr = float(np.quantile(np.abs(np.asarray(a)), sparsity))
+    ap, _ = prune_threshold(a, threshold=thr)
+    coo = coo_from_dense(ap)
+    bm = jax.random.normal(jax.random.PRNGKey(5), (batch, k, n),
+                           jnp.bfloat16)
+    want = spmm_coo(coo, bm, out_dtype=jnp.float32)
+    packed = pack_coo(coo)
+    for gather in ("matmul", "slices"):
+        got = spmm_coo_segmented(coo, bm, out_dtype=jnp.float32,
+                                 packed=packed, gather=gather)
+        _close(f"{tag} segmented {gather}", got, want, tol)
+
+
+def _prune_nm_numpy(w: np.ndarray, n: int, m: int) -> np.ndarray:
+    """Host oracle: keep top-n of each group of m by (|v|, position),
+    later positions win ties — the ranking contract shared with the C++
+    native layer (CLAUDE.md architecture invariants)."""
+    x = np.asarray(w, np.float32)
+    k = x.shape[-1]
+    kp = -(-k // m) * m
+    xp = np.pad(x.reshape(-1, k), ((0, 0), (0, kp - k)))
+    g = xp.reshape(-1, kp // m, m)
+    order = np.lexsort((np.broadcast_to(np.arange(m), g.shape),
+                        np.abs(g)), axis=-1)  # ascending (|v|, pos)
+    ranks = np.argsort(order, axis=-1)
+    keep = (ranks >= m - n).reshape(-1, kp)[:, :k].reshape(w.shape)
+    return np.where(keep, np.asarray(w, np.float32), 0.0)
+
+
+def check_prune_variants(b, m, k):
+    from ..ops.kernels.prune_kernel import prune_nm_pallas
+
+    tag = f"[{b}x{m}x{k}]"
+    for dtype in (jnp.bfloat16, jnp.float32):
+        a = jax.random.normal(jax.random.PRNGKey(6), (b, m, k), dtype)
+        # Host-oracle ranking == Pallas ranking (key-trick path on bf16).
+        want = _prune_nm_numpy(np.asarray(a, np.float32), 2, 4)
+        got, _ = jax.jit(lambda x: prune_nm_pallas(x, 2, 4))(a)
+        _equal(f"{tag} prune 2:4 {jnp.dtype(dtype).name} == host oracle",
+               got, want)
+    a = jax.random.normal(jax.random.PRNGKey(7), (b, m, k), jnp.bfloat16)
+    want = _prune_nm_numpy(np.asarray(a, np.float32), 1, 4)
+    got, _ = jax.jit(lambda x: prune_nm_pallas(x, 1, 4))(a)
+    _equal(f"{tag} prune 1:4 == host oracle", got, want)
+
+
+def main() -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (interpret-mode dry run; "
+                        "never claims the TPU chip)")
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    t0 = time.time()
+    print("backend:", jax.default_backend(), jax.devices(), flush=True)
+    if jax.default_backend() != "tpu":
+        print("WARNING: not a TPU backend — this gate is only "
+              "meaningful on the real chip", flush=True)
+
+    # Mosaic-sensitive shape set: odd k (147 -> kp 192 full-width tile;
+    # 650 -> kp 704; 1920 hits the row-major (1216, 2048] window), tiny
+    # m=1, small m=196, plus an aligned production shape.
+    check_24(2, 196, 147, 64)
+    check_24(1, 1, 64, 128)
+    check_24(2, 128, 650, 96)
+    check_24(1, 256, 1920, 128)
+    check_24(4, 784, 1024, 256)
+    check_24(1, 100, 148, 96, dtype=jnp.float32, tol=1e-4)
+    check_grad(2, 196, 256, 64)
+    check_prune_variants(2, 196, 147)
+    check_ell(2, 196, 147, 64)
+    check_ell(4, 784, 1024, 256)
+    check_coo(784, 512, 64, 4)
+    print(f"\n{'PASS' if not FAILURES else 'FAIL'}: "
+          f"{len(FAILURES)} failures in {time.time() - t0:.0f}s",
+          flush=True)
+    for f in FAILURES:
+        print(f"  failed: {f}", flush=True)
+    return 1 if FAILURES else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

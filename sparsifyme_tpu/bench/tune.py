@@ -1,0 +1,214 @@
+"""Offline kernel tuner: regenerates `tuning_table.json` on real hardware.
+
+The `cusparseLtMatmulSearch` analog run once per machine instead of per
+benchmark (`cusparseLt.h:262-277`): for every unique layer shape of a
+model sweep it races the candidate kernel configurations with the same
+chained-loop timer the benchmark uses (so the compiled executables land
+in the persistent compilation cache that the benchmark will hit), and
+writes the winners to the committed table (`bench.tuning`).
+
+Usage::
+
+    python -m sparsifyme_tpu.bench.tune [--model resnet50] [--ops spmm24,ell,gemm]
+
+The table is saved incrementally after every shape, so an interrupted
+run keeps its progress.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.resnet_shapes import resnet_conv_shapes
+from ..ops.ell import ell_from_dense, ell_values_kmajor, spmm_ell
+from ..ops.gemm import batched_gemm
+from ..ops.kernels.ell_kernel import ell_expand_spmm_pallas
+from ..ops.prune import prune_nm
+from ..ops.sparse24 import compress_24, spmm_24
+from ..utils.timing import time_kernel
+from .tuning import TABLE_PATH, load_table, save_table, shape_key
+
+
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
+def _time(fn, operands, carrier, iters, reps) -> float:
+    try:
+        t = time_kernel(fn, operands, carrier=carrier, iters=iters,
+                        reps=reps)
+    except Exception as exc:  # infeasible tiling — skip like cusparseLt
+        print(f"      skip ({type(exc).__name__}: {str(exc)[:120]})",
+              flush=True)
+        return float("inf")
+    return t.ms if t.ms > 0 else float("inf")
+
+
+def spmm24_candidates(m: int, n: int, k: int) -> Tuple[Dict, ...]:
+    """(block_m, block_n, block_k4, transpose_out, pipeline) grid —
+    heuristic tilings in both formulations/layouts plus explicit
+    block_m overrides around the heuristic's preference cliffs."""
+    cands = [
+        dict(block_m=None, block_n=None, block_k4=None,
+             transpose_out=tr, pipeline=pipe)
+        for tr in (False, True) for pipe in (False, True)
+    ]
+    for bm in (1024, 4096):
+        cands.append(dict(block_m=bm, block_n=None, block_k4=None,
+                          transpose_out=True, pipeline=True))
+    cands.append(dict(block_m=1024, block_n=None, block_k4=None,
+                      transpose_out=False, pipeline=True))
+    cands.append(dict(block_m=512, block_n=None, block_k4=None,
+                      transpose_out=True, pipeline=False))
+    return tuple(cands)
+
+
+def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
+               reps: int, dtype=jnp.bfloat16) -> Dict:
+    key = jax.random.PRNGKey(0)
+    ka, kb2 = jax.random.split(key)
+    a = jax.random.normal(ka, (b, m, k), dtype)
+    bm_ = jax.random.normal(kb2, (k, n), dtype)
+    entry: Dict = {}
+
+    if "gemm" in ops:
+        best, best_ms = None, float("inf")
+        for fold in (True, False):
+            ms = _time(
+                lambda x, y, _f=fold: batched_gemm(x, y, out_dtype=dtype,
+                                                   fold=_f),
+                (a, bm_), 1, iters, reps)
+            print(f"    gemm fold={fold}: {ms:.3f} ms", flush=True)
+            if ms < best_ms:
+                best, best_ms = fold, ms
+        entry["gemm"] = {"fold": best, "ms": round(best_ms, 5)}
+
+    if "spmm24" in ops:
+        s = jax.jit(lambda x: compress_24(prune_nm(x, 2, 4)[0]))(a)
+        best, best_ms = None, float("inf")
+        for cand in spmm24_candidates(m, n, k):
+            ms = _time(
+                lambda ss, y, _c=cand: spmm_24(ss, y, out_dtype=dtype,
+                                               **_c),
+                (s, bm_), 1, iters, reps)
+            print(f"    spmm24 {cand}: {ms:.3f} ms", flush=True)
+            if ms < best_ms:
+                best, best_ms = dict(cand), ms
+        if k <= 1024:
+            # Packed-codes pipelined kernel (A traffic 1.125 B/elem —
+            # the 1.78x ceiling): single-k-step shapes only.
+            from ..ops.sparse24 import pack_codes_fp
+            from ..ops.kernels.spmm24_kernel import spmm24_pallas_fp
+
+            cp = jax.jit(pack_codes_fp)(s.codes)
+            kp = 4 * s.values0.shape[0]
+            bp = jnp.pad(bm_, ((0, kp - k), (0, 0)))
+            for tr in (False, True):
+                ms = _time(
+                    lambda v0, v1, c2, y, _tr=tr: spmm24_pallas_fp(
+                        v0, v1, c2, y, k_logical=k, out_dtype=dtype,
+                        transpose_out=_tr, packed_codes=True),
+                    (s.values0, s.values1, cp, bp), 3, iters, reps)
+                print(f"    spmm24 packed tout={tr}: {ms:.3f} ms",
+                      flush=True)
+                if ms < best_ms:
+                    best = dict(packed=True, transpose_out=tr,
+                                pipeline=True)
+                    best_ms = ms
+        if best is not None:
+            best["ms"] = round(best_ms, 5)
+            entry["spmm24"] = best
+
+    if "ell" in ops:
+        bs = 128
+        heur = 32 if k < 512 else (64 if k < 1536 else 128)
+        bkbs = sorted({heur} | (
+            {64} if k < 512 and k >= 128 else
+            ({32, 128} if k < 1536 else {64})))
+        bkbs = [x for x in bkbs if 2 * x <= _round_up(k, 2 * x)]
+        best, best_ms = None, float("inf")
+        for bkb in bkbs:
+            kp = _round_up(k, 2 * bkb)
+            mp = _round_up(m, bs)
+            ell_blocks = max(1, (kp // bkb) // 2)
+            ap = jnp.pad(a, ((0, 0), (0, mp - m), (0, kp - k)))
+            bp = jnp.pad(bm_, ((0, kp - k), (0, 0)))
+            e = jax.jit(lambda x, _eb=ell_blocks, _bk=bkb: ell_from_dense(
+                x, block_size=bs, ell_blocks=_eb, block_k=_bk))(ap)
+            for tr in (False, True):
+                ms = _time(
+                    lambda ee, y, _tr=tr: spmm_ell(
+                        ee, y, out_dtype=dtype, transpose_out=_tr),
+                    (e, bp), 1, iters, reps)
+                print(f"    ell gather bkb={bkb} tout={tr}: {ms:.3f} ms",
+                      flush=True)
+                if ms < best_ms:
+                    best = dict(formulation="gather", transpose_out=tr,
+                                block_size=bs, block_k=bkb)
+                    best_ms = ms
+            if k <= 1024:
+                vkm = jax.jit(ell_values_kmajor)(e)
+                cols = e.col_indices.reshape(-1, e.col_indices.shape[-1])
+                for tr in (False, True):
+                    ms = _time(
+                        lambda v, y, c, _tr=tr, _bk=bkb:
+                        ell_expand_spmm_pallas(
+                            v, c, y, block_size=bs, block_k=_bk,
+                            out_dtype=dtype, transpose_out=_tr),
+                        (vkm, bp, cols), 1, iters, reps)
+                    print(f"    ell expand bkb={bkb} tout={tr}: "
+                          f"{ms:.3f} ms", flush=True)
+                    if ms < best_ms:
+                        best = dict(formulation="expand",
+                                    transpose_out=tr, block_size=bs,
+                                    block_k=bkb)
+                        best_ms = ms
+        if best is not None:
+            best["ms"] = round(best_ms, 5)
+            entry["ell"] = best
+
+    return entry
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="resnet50")
+    p.add_argument("--ops", default="gemm,spmm24,ell")
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--reps", type=int, default=2)
+    p.add_argument("--table", default=TABLE_PATH)
+    p.add_argument("--fresh", action="store_true",
+                   help="ignore existing entries (default: skip shapes "
+                        "already fully tuned for the requested ops)")
+    args = p.parse_args(argv)
+    ops = tuple(args.ops.split(","))
+
+    shapes = sorted(set(resnet_conv_shapes(args.model)))
+    table = dict(load_table(args.table))
+    t0 = time.time()
+    for i, s in enumerate(shapes):
+        kkey = shape_key(s.m, s.n, s.k, s.b)
+        have = table.get(kkey, {})
+        todo = [o for o in ops if args.fresh or o not in have]
+        if not todo:
+            print(f"[{i + 1}/{len(shapes)}] {kkey}: already tuned",
+                  flush=True)
+            continue
+        print(f"[{i + 1}/{len(shapes)}] {kkey}: tuning {todo} "
+              f"(t={time.time() - t0:.0f}s)", flush=True)
+        entry = tune_shape(s.m, s.n, s.k, s.b, todo, iters=args.iters,
+                           reps=args.reps)
+        table[kkey] = {**have, **entry}
+        save_table(table, args.table)  # incremental: survive timeouts
+    print(f"done in {time.time() - t0:.0f}s -> {args.table}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

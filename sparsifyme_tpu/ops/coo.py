@@ -66,7 +66,12 @@ def spmm_coo(a: Coo, b: jax.Array, *, out_dtype=None) -> jax.Array:
     out_dtype = out_dtype or jnp.promote_types(a.dtype, b.dtype)
 
     def one(bmat):
-        gathered = bmat[a.cols] * a.values[:, None].astype(bmat.dtype)
+        # f32 accumulation regardless of operand dtype: this is the
+        # oracle the Pallas kernel (f32 HIGHEST-precision scatter
+        # matmul) is checked against — a bf16 segment_sum would make
+        # the oracle less precise than the kernel under test.
+        gathered = (bmat[a.cols].astype(jnp.float32)
+                    * a.values[:, None].astype(jnp.float32))
         return jax.ops.segment_sum(gathered, a.rows, num_segments=m)
 
     batch_dims = b.ndim - 2
@@ -150,6 +155,7 @@ def spmm_coo_segmented(
     out_dtype=None,
     block_rows: int = 128,
     packed: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+    gather: str = "auto",
 ) -> jax.Array:
     """Segmented block-row COO SpMM on the MXU (Pallas kernel).
 
@@ -176,7 +182,7 @@ def spmm_coo_segmented(
     b2 = jnp.moveaxis(b.reshape(-1, k, n), 0, 1).reshape(k, -1)
     out = spmm_coo_pallas(
         vals2, cols2, roff2, b2, m=m, block_rows=block_rows,
-        out_dtype=jnp.float32,
+        out_dtype=jnp.float32, gather=gather,
     )
     if lead:
         out = jnp.moveaxis(out.reshape(m, -1, n), 1, 0)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .spmm24_kernel import _round_up, default_interpret
+from .spmm24_kernel import _bm_exact, _round_up, default_interpret
 
 
 def _beat_count(a: jax.Array, pos: jax.Array, m: int, axis: int,
@@ -45,15 +45,21 @@ def _beat_count(a: jax.Array, pos: jax.Array, m: int, axis: int,
 
 def _prune_kernel(x_ref, out_ref, mask_ref, *, n: int, m: int):
     x = x_ref[...]
-    # Mosaic's rotate only handles 32-bit element types — rank in f32
-    # (exact for bf16/f16 inputs; |x| comparisons are order-preserving).
-    a = jnp.abs(x).astype(jnp.float32)
     pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % m
 
     def lane_roll(v, s):  # pltpu.roll needs s >= 0; jnp.roll semantics
         return pltpu.roll(v, s % v.shape[1], 1)
 
-    cnt = _beat_count(a, pos, m, 1, lane_roll)
+    if _key_dtype_ok(x.dtype):
+        # One int32 compare per partner (position tiebreak folded into
+        # the key's free low mantissa bits) — ~2x fewer VPU ops than the
+        # two-compare ranking below.
+        cnt = _beat_count_key(_rank_key_i32(x, pos), pos, m, lane_roll)
+    else:
+        # Mosaic's rotate only handles 32-bit element types — rank in
+        # f32 (|x| comparisons are order-preserving).
+        cnt = _beat_count(jnp.abs(x).astype(jnp.float32), pos, m, 1,
+                          lane_roll)
     keep = cnt < n
     out_ref[...] = jnp.where(keep, x, jnp.zeros((), x.dtype))
     mask_ref[...] = keep.astype(mask_ref.dtype)
@@ -82,17 +88,33 @@ def prune_nm_pallas(
     # Lane-dim tile must be a multiple of both the group size and 128;
     # pad k so group boundaries never straddle a tile edge.
     # 128-lane tiles: rotates within one vreg lane-width measured
-    # fastest (338 GB/s vs 152 GB/s at 256 lanes).
-    bk = block_k or 128
+    # fastest (338 GB/s vs 152 GB/s at 256 lanes). Non-128-multiple kp
+    # takes ONE full-width tile instead (Mosaic allows full-array lane
+    # blocks): a jnp.pad to the next 128 multiple is a full HBM copy of
+    # the weights (measured 2.5x floor on k=576 layers).
+    if block_k:
+        bk = block_k
+    elif kp % 128 == 0 or kp > 1536:
+        bk = 128
+    else:
+        bk = kp
     kpp = _round_up(kp, bk)
     if block_rows:
         bm = block_rows
     else:
         # Scoped VMEM for a pallas call is 16 MB; measured footprint is
         # ~26 B per tile element (x/out/mask + f32 rank temps + rolls).
-        # Budget 7 MB, prefer fat rows.
+        # Budget 7 MB, prefer fat rows — but prefer an EXACT divisor of
+        # the row count: a non-dividing bm pays a full-copy row pad
+        # (measured +30% on m=196 layers where 6272 rows pad to 8192).
         cap = max(8, (7 * 1024 * 1024 // (26 * bk)) // 8 * 8)
-        bm = min(_round_up(rows, 8), 2048, cap)
+        cap = min(2048, cap)
+        bm = min(_round_up(rows, 8), cap)
+        if rows > cap:
+            div = next((d for d in range(cap, 7, -8) if rows % d == 0),
+                       None)
+            if div is not None and div >= cap // 4:
+                bm = div
     rp = _round_up(rows, bm)
     if kpp != kf or rp != rows:
         w2 = jnp.pad(w2, ((0, rp - rows), (0, kpp - kf)))
@@ -125,6 +147,54 @@ def prune_nm_pallas(
     return out, mask
 
 
+def _key_dtype_ok(dtype) -> bool:
+    """True when f32(|x|) has >= 2 free low mantissa bits, so the in-group
+    position (0..3) can be OR'd into the bitcast int32 without perturbing
+    any magnitude comparison — bf16/f16 widen to f32 with >= 13 zero low
+    bits. f32 inputs use the two-compare formulation instead."""
+    return jnp.dtype(dtype) in (jnp.dtype(jnp.bfloat16),
+                                jnp.dtype(jnp.float16))
+
+
+def _rank_key_i32(x: jax.Array, pos: jax.Array) -> jax.Array:
+    """Total-order ranking key as ONE int32: bitcast of f32(|x|) with the
+    in-group position in the low bits. For non-negative floats the int32
+    bit pattern is monotone in the float value, so a single integer
+    compare implements (|value|, position) with later-position-wins-ties
+    — the same order `_beat_count`'s three ops compute."""
+    af = jnp.abs(x).astype(jnp.float32)
+    ki = jax.lax.bitcast_convert_type(af, jnp.int32)
+    return ki | pos
+
+
+def _beat_count_key(key: jax.Array, pos: jax.Array, m: int,
+                    roll_fn) -> jax.Array:
+    """`_beat_count` with the int32 key: one compare per partner."""
+    cnt = jnp.zeros(key.shape, jnp.int32)
+    for s in range(1, m):
+        fwd = roll_fn(key, -s)
+        bwd = roll_fn(key, m - s)
+        wraps = pos + s >= m
+        pa = jnp.where(wraps, bwd, fwd)
+        cnt = cnt + (pa > key).astype(jnp.int32)
+    return cnt
+
+
+def _slot_masks_from_keep(keep32: jax.Array, pos: jax.Array, roll_fn):
+    """(m0, m1) slot masks from a 0/1 keep array (exactly 2 kept per
+    group). A kept partner at shift s precedes me iff the group index
+    wraps (ppos = pos+s-4 < pos), so `kept_before` needs only the
+    backward roll masked by the static wrap mask — half the shuffles of
+    `_rank_masks_24`'s generic path."""
+    kb = jnp.zeros(keep32.shape, jnp.int32)
+    for s in range(1, 4):
+        wraps = (pos + s >= 4).astype(jnp.int32)
+        kb = kb + wraps * roll_fn(keep32, 4 - s)
+    m0 = keep32 * (1 - jnp.minimum(kb, 1))
+    m1 = keep32 * jnp.where(kb == 1, 1, 0)
+    return m0, m1
+
+
 def _rank_masks_24(a: jax.Array, pos: jax.Array, roll_fn):
     """Slot masks for 2:4 selection: ``(m0, m1)`` int32 0/1 arrays
     marking the first/second kept member of every group of 4 (rank by
@@ -154,13 +224,19 @@ def _compress_kernel(xt_ref, v0_ref, v1_ref, codes_ref):
     Outputs: planes [bk//4, bm]."""
     x = xt_ref[...]
     # 32-bit ranks/flags: Mosaic's rotate only handles 32-bit elements.
-    a = jnp.abs(x).astype(jnp.float32)
     pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) % 4
 
     def sub_roll(v, s):  # pltpu.roll needs s >= 0; jnp.roll semantics
         return pltpu.roll(v, s % v.shape[0], 0)
 
-    m0, m1 = _rank_masks_24(a, pos, sub_roll)
+    if _key_dtype_ok(x.dtype):
+        keep32 = jnp.where(
+            _beat_count_key(_rank_key_i32(x, pos), pos, 4, sub_roll) < 2,
+            1, 0)
+        m0, m1 = _slot_masks_from_keep(keep32, pos, sub_roll)
+    else:
+        m0, m1 = _rank_masks_24(jnp.abs(x).astype(jnp.float32), pos,
+                                sub_roll)
 
     # Group compaction [bk, bm] -> [bk//4, bm] runs on the MXU: a tiny
     # selection matrix S (S[g, 4g+j] = 1) contracts the group axis.
@@ -299,41 +375,67 @@ def _fused_kernel_rm(x_ref, v0_ref, v1_ref, codes_ref):
     codes_ref[...] = (i0 * 4 + i1).astype(jnp.int32).astype(jnp.uint8)
 
 
-def _fused_kernel_km(x_ref, v0_ref, v1_ref, codes_ref):
-    """Fused prune+compress with the k-major relayout done IN-KERNEL:
-    dense tile [bm, bk] is transposed in VMEM (f32: Mosaic's vector
-    transpose path; exact for bf16 values) and the sublane compress
-    body runs on the transpose — the full-size XLA pre-transpose the
-    round-1 pipeline paid (HBM read+write of the whole matrix) never
-    touches HBM."""
-    xt = jnp.swapaxes(x_ref[...].astype(jnp.float32), 0, 1)  # [bk, bm]
-    a = jnp.abs(xt)
-    pos = jax.lax.broadcasted_iota(jnp.int32, xt.shape, 0) % 4
+def _fused_kernel_v2(x_ref, v0_ref, v1_ref, codes_ref, *, bk: int,
+                     use_key: bool):
+    """Fused prune+compress v2: row-major dense tile [bm, bk] in,
+    k-major compact planes [bk//4, bm] out, with NO in-kernel f32
+    transpose and O(32) bf16 MACs/element compaction.
 
-    def sub_roll(v, s):
-        return pltpu.roll(v, s % v.shape[0], 0)
+    Round-2's `_fused_kernel_km` measured ~4x its HBM floor: the VMEM
+    f32 transpose plus a full-width f32 selection matmul (bk/4 MACs per
+    element PER gsum, four gsums) dominated. Here:
 
-    m0, m1 = _rank_masks_24(a, pos, sub_roll)
-    # Group compaction [bk, bm] -> [bk//4, bm] on the MXU (see
-    # _compress_kernel): S[g, 4g+j] = 1 contracts the sublane group
-    # axis. f32 throughout (exact for bf16 values).
-    bk = xt.shape[0]
-    rr = jax.lax.broadcasted_iota(jnp.int32, (bk // 4, bk), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (bk // 4, bk), 1)
-    sel = (cc // 4 == rr).astype(jnp.float32)
+      * ranking runs in the input's own row-major layout (lane rolls),
+        with the int32-key trick (`_rank_key_i32`) when the dtype allows
+        — one compare per partner instead of three ops;
+      * compaction AND the k-major relayout are one MXU contraction per
+        128-lane chunk: ``sel[w/4, w] @ xm[bm, w]^T`` (the standard
+        A@B^T dimension numbers) emits the [w/4, bm] plane rows
+        directly — 32 MACs/element in the value dtype (exact: one
+        nonzero per group per masked operand);
+      * the codes need ONE dot, not two: ``sel @ (pos*(4*m0+m1))^T``
+        sums to ``4*i0 + i1`` per group (both terms are small ints,
+        exact in bf16).
+    """
+    x = x_ref[...]
+    pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % 4
 
-    def gsum(v):
-        return jax.lax.dot_general(
-            sel, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    def lane_roll(v, s):
+        return pltpu.roll(v, s % v.shape[1], 1)
 
-    v0_ref[...] = gsum(xt * m0.astype(jnp.float32)).astype(v0_ref.dtype)
-    v1_ref[...] = gsum(xt * m1.astype(jnp.float32)).astype(v1_ref.dtype)
-    posf = pos.astype(jnp.float32)
-    i0 = gsum(posf * m0.astype(jnp.float32))
-    i1 = gsum(posf * m1.astype(jnp.float32))
-    codes_ref[...] = (i0 * 4 + i1).astype(jnp.int32).astype(jnp.uint8)
+    if use_key:
+        key = _rank_key_i32(x, pos)
+        keep32 = jnp.where(
+            _beat_count_key(key, pos, 4, lane_roll) < 2, 1, 0)
+        m0, m1 = _slot_masks_from_keep(keep32, pos, lane_roll)
+    else:
+        m0, m1 = _rank_masks_24(jnp.abs(x).astype(jnp.float32), pos,
+                                lane_roll)
+
+    mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    xm0 = (x * m0.astype(x.dtype)).astype(mm_dtype)
+    xm1 = (x * m1.astype(x.dtype)).astype(mm_dtype)
+    code_src = (pos * (4 * m0 + m1)).astype(mm_dtype)
+
+    dn = (((1,), (1,)), ((), ()))  # contract both lane dims: sel @ xm^T
+    off = 0
+    while off < bk:
+        w = min(128, bk - off)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (w // 4, w), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (w // 4, w), 1)
+        sel = (cc // 4 == rr).astype(mm_dtype)
+        sl = slice(off, off + w)
+        g = slice(off // 4, (off + w) // 4)
+        v0_ref[g, :] = jax.lax.dot_general(
+            sel, xm0[:, sl], dn, preferred_element_type=jnp.float32,
+        ).astype(v0_ref.dtype)
+        v1_ref[g, :] = jax.lax.dot_general(
+            sel, xm1[:, sl], dn, preferred_element_type=jnp.float32,
+        ).astype(v1_ref.dtype)
+        codes_ref[g, :] = jax.lax.dot_general(
+            sel, code_src[:, sl], dn, preferred_element_type=jnp.float32,
+        ).astype(jnp.int32).astype(jnp.uint8)
+        off += w
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "kmajor",
@@ -369,19 +471,31 @@ def prune_compress_24_pallas(
 
     if kmajor:
         # Input tile [bm, bk]: Mosaic requires the lane-dim block to be a
-        # multiple of 128 OR the full array width. Prefer bk=128; for
-        # non-128-multiple kp take one full-width tile (grid j = 1) up to
-        # a VMEM-safe width, else pad lanes to a 128 multiple (the padded
-        # groups compress to zero planes and are sliced off below).
+        # multiple of 128 OR the full array width. Fat k-tiles amortize
+        # the per-grid-step fixed cost (the v2 kernel's compaction is
+        # chunked at 128 lanes internally, so bk does not change the
+        # MACs/element); for non-128-multiple kp take one full-width
+        # tile (grid j = 1) up to a VMEM-safe width, else pad lanes to a
+        # 128 multiple (padded groups compress to zero planes, sliced
+        # off below).
         if block_k:
             bk = block_k
         elif kp % 128 == 0:
-            bk = 128
-        elif kp <= 768:
+            bk = next(d for d in (512, 384, 256, 128) if kp % d == 0)
+        elif kp <= 1280:
             bk = kp
         else:
             bk = 128
-        bm = block_rows or (512 if bk <= 128 else 256)
+        if block_rows:
+            bm = block_rows
+        else:
+            # ~512K-element tiles: big enough that HBM streaming beats
+            # the ~0.7us/step fixed cost, small enough for scoped VMEM
+            # (see vmem_limit below). Exact %128 divisors of the row
+            # count avoid a full-size jnp.pad copy of the dense input.
+            cap = max(128, ((1 << 19) // bk) // 128 * 128)
+            exact = _bm_exact(rows, cap)
+            bm = exact[0] if exact else min(cap, _round_up(rows, 128))
     else:
         # Compact planes keep k//4 in lanes: the OUTPUT tile [bm, bk//4]
         # needs bk//4 % 128 == 0 (bk mult of 512) or full-width. Same
@@ -394,7 +508,10 @@ def prune_compress_24_pallas(
             bk = kp
         else:
             bk = 512
-        bm = block_rows or 256
+        # Scale rows down for wide full-width tiles: f32 rank temps +
+        # the [bk, bk//4] selection matrix approach the scoped-VMEM
+        # budget past bk ~1024 (advisor round-2 finding).
+        bm = block_rows or (256 if bk <= 1024 else 128)
     kpp = _round_up(kp, bk)
     rp = _round_up(rows, bm)
     if kpp != k or rp != rows:
@@ -411,7 +528,8 @@ def prune_compress_24_pallas(
             jax.ShapeDtypeStruct((kpp // 4, rp), w.dtype),
             jax.ShapeDtypeStruct((kpp // 4, rp), jnp.uint8),
         ]
-        kernel = _fused_kernel_km
+        kernel = functools.partial(_fused_kernel_v2, bk=bk,
+                                   use_key=_key_dtype_ok(w.dtype))
     else:
         pspec = pl.BlockSpec((bm, bk // 4), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
@@ -429,6 +547,9 @@ def prune_compress_24_pallas(
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            # Fat tiles: the v2 kernel's rank temps (int32) run ~5x the
+            # block-spec bytes; v5e has 128 MB physical VMEM.
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
     )(w2)

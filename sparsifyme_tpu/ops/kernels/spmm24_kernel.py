@@ -279,9 +279,24 @@ def _expand_q_into(write, v0, v1, codes):
     write(3, jnp.where(i1 == 3, v1, zero))
 
 
+def _unpack_codes_tile(cp: jax.Array) -> jax.Array:
+    """In-VMEM nibble unpack: packed codes ``[bk4//2, bm]`` in the
+    SPLIT-HALF layout (byte j: group j in the low nibble, group
+    j + bk4/2 in the high — `ops.sparse24.pack_codes_fp`) -> int32
+    codes ``[bk4, bm]``. `pltpu.repeat` is a tile-repeat (concatenated
+    copies, not interleaved), which is exactly the split-half inverse:
+    one repeat + one iota-select per tile. Buys 0.5 B/group of A
+    traffic (the 1.6x -> 1.78x bandwidth ceiling, bench.roofline)."""
+    half = cp.shape[0]
+    ci = pltpu.repeat(cp.astype(jnp.int32), 2, 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, ci.shape, 0)
+    return jnp.where(row < half, ci & 0xF, (ci >> 4) & 0xF)
+
+
 def _kernel_fp(v0_ref, v1_ref, codes_ref, b_ref, *rest,
                T: int, n_k: int, bk4: int, tout: bool,
-               alpha: float = 1.0, beta: float = 0.0):
+               alpha: float = 1.0, beta: float = 0.0,
+               packed: bool = False):
     """Software-pipelined body over the flattened (m-tile, k-tile) grid.
 
     Step t: MXU contracts the slab expanded at step t-1 while the VPU
@@ -333,7 +348,9 @@ def _kernel_fp(v0_ref, v1_ref, codes_ref, b_ref, *rest,
         def write(q, val):
             af_ref[q * bk4:(q + 1) * bk4, :] = val
 
-        _expand_q_into(write, v0_ref[...], v1_ref[...], codes_ref[...])
+        codes = (_unpack_codes_tile(codes_ref[...]) if packed
+                 else codes_ref[...])
+        _expand_q_into(write, v0_ref[...], v1_ref[...], codes)
 
     # dot first (issue the MXU op), then the independent expand.
     @pl.when((t > 0) & (parity == 1))
@@ -383,7 +400,8 @@ def _pick_tiles_fp(m, n, k4, tout, vmem_budget=12 * 1024 * 1024):
 @functools.partial(
     jax.jit,
     static_argnames=("k_logical", "out_dtype", "block_m", "block_k4",
-                     "interpret", "transpose_out", "alpha", "beta"),
+                     "interpret", "transpose_out", "alpha", "beta",
+                     "packed_codes"),
 )
 def spmm24_pallas_fp(
     v0: jax.Array,
@@ -400,6 +418,7 @@ def spmm24_pallas_fp(
     transpose_out: bool = False,
     alpha: float = 1.0,
     beta: float = 0.0,
+    packed_codes: bool = False,
 ) -> jax.Array:
     """Pipelined ``C = decompress24(v0, v1, codes)[:, :k_logical] @ b``.
 
@@ -427,11 +446,32 @@ def spmm24_pallas_fp(
     k4p = _round_up(k4, bk4)
     kp = 4 * k4p
 
+    if packed_codes:
+        if codes.shape[0] != (k4 + 1) // 2:
+            raise ValueError(
+                f"packed codes rows {codes.shape[0]} != k4/2 {(k4 + 1) // 2}")
+        if _round_up(k4, bk4) != bk4:
+            # The split-half pack pairs (g, g + k4/2) globally, which
+            # only matches the kernel's per-tile unpack when the whole
+            # group axis is ONE tile (k <= 1024 with the default tile
+            # picker — the bandwidth-bound regime packing exists for).
+            raise ValueError(
+                f"packed codes require a single k-step (k4 {k4} must "
+                f"fit one {bk4}-group tile)")
     if mp != m or k4p != k4:
         pad_m, pad_k4 = mp - m, k4p - k4
         v0 = jnp.pad(v0, ((0, pad_k4), (0, pad_m)))
         v1 = jnp.pad(v1, ((0, pad_k4), (0, pad_m)))
-        codes = jnp.pad(codes, ((0, pad_k4), (0, pad_m)), constant_values=1)
+        if packed_codes:
+            if pad_k4:
+                raise ValueError(
+                    "packed codes cannot be group-padded here — pack "
+                    "with ops.sparse24.pack_codes_fp at the stored k4")
+            codes = jnp.pad(codes, ((0, 0), (0, pad_m)),
+                            constant_values=0x11)
+        else:
+            codes = jnp.pad(codes, ((0, pad_k4), (0, pad_m)),
+                            constant_values=1)
     if kp != k_pad_in or np_ != n:
         b = jnp.pad(b, ((0, kp - k_pad_in), (0, np_ - n)))
     has_c = beta != 0.0
@@ -464,7 +504,8 @@ def spmm24_pallas_fp(
     in_specs = [
         pl.BlockSpec((bk4, bm), planes_im, memory_space=pltpu.VMEM),
         pl.BlockSpec((bk4, bm), planes_im, memory_space=pltpu.VMEM),
-        pl.BlockSpec((bk4, bm), planes_im, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk4 // 2 if packed_codes else bk4, bm), planes_im,
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((4 * bk4, np_), b_im, memory_space=pltpu.VMEM),
     ]
     if transpose_out:
@@ -499,7 +540,8 @@ def spmm24_pallas_fp(
     operands = (v0, v1, codes, b) + ((c,) if has_c else ())
     out = pl.pallas_call(
         functools.partial(_kernel_fp, T=T, n_k=n_k, bk4=bk4,
-                          tout=transpose_out, alpha=alpha, beta=beta),
+                          tout=transpose_out, alpha=alpha, beta=beta,
+                          packed=packed_codes),
         grid=(T + 1,),
         in_specs=in_specs,
         out_specs=out_spec,

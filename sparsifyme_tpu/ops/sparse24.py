@@ -342,11 +342,38 @@ def spmm_24(
     if alpha != 1.0 or beta != 0.0:
         out32 = out.astype(jnp.float32) * alpha
         if c is not None and beta != 0.0:
-            out32 = out32 + beta * c.astype(jnp.float32)
+            c32 = c.astype(jnp.float32)
+            if not transpose_out:
+                # Accept C in the logical batched shape (..., m, n) or
+                # already batch-folded [M, n]; the kernel output is
+                # folded at this point.
+                c32 = c32.reshape(-1, c32.shape[-1])
+            out32 = out32 + beta * c32
         out = out32.astype(cfg.out_dtype)
     if transpose_out:
         return out
     return out.reshape(*lead, m, out.shape[-1])
+
+
+def pack_codes_fp(codes: jax.Array) -> jax.Array:
+    """Pack codes for KERNEL consumption: split-half layout.
+
+    Byte ``j`` holds group ``j`` in the low nibble and group
+    ``j + k4/2`` in the high nibble, so the pipelined SpMM kernel's
+    unpack is one `pltpu.repeat` (tile-repeat = concatenated halves)
+    plus an iota-select (`spmm24_kernel._unpack_codes_tile`). Requires
+    the stored group count ``k4`` (a multiple of 16 by compress_24's
+    padding) to fit a single kernel k-tile (k <= 1024 under the default
+    tile picker). Distinct from :func:`pack_codes`, the adjacent-pair
+    STORAGE layout.
+    """
+    *lead, k4, m = codes.shape
+    if k4 % 2:
+        raise ValueError(f"k4 {k4} must be even")
+    half = k4 // 2
+    lo = codes[..., :half, :]
+    hi = codes[..., half:, :]
+    return (lo | (hi << 4)).astype(jnp.uint8)
 
 
 def pack_codes(codes: jax.Array) -> jax.Array:

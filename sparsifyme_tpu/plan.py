@@ -71,13 +71,20 @@ class SpmmaPlan:
         cfg = config
         dtype = jnp.dtype(cfg.dtype)
         out_dtype = jnp.dtype(cfg.out_dtype)
-        if cfg.k % 8 or cfg.m % 8:
-            # The reference enforces divisibility-by-8 (spmma.hxx:45-49);
-            # we accept any shape (kernels pad) but keep the check
-            # available as a warning channel for peak-path users.
-            self.aligned = False
-        else:
-            self.aligned = True
+        self.aligned = not (cfg.k % 8 or cfg.m % 8)
+        if not self.aligned:
+            # The reference hard-errors on non-multiple-of-8 sizes
+            # (spmma.hxx:45-49). The kernels here pad instead, but the
+            # padding costs real bandwidth — surface it like the
+            # reference's cerr, without refusing the shape.
+            import warnings
+
+            warnings.warn(
+                f"SpmmaPlan m={cfg.m} k={cfg.k}: sizes not multiples of 8"
+                " — kernels pad (the reference rejects these shapes,"
+                " spmma.hxx:45-49); expect below-peak throughput",
+                stacklevel=2,
+            )
         self._prune = jax.jit(lambda a: prune_nm(a, 2, 4)[0])
         self._prune_check = jax.jit(lambda a: prune_check_nm(a, 2, 4))
         self._compress = jax.jit(compress_24)
@@ -192,7 +199,7 @@ class SpmmaPlan:
     # -- timed pipeline (the reference's return contract) ---------------
     def timed(
         self, a: jax.Array, b: jax.Array, *, iters: int = 8,
-        reps: int = 3, **_legacy
+        reps: int = 3,
     ) -> Tuple[jax.Array, Dict[str, Timing]]:
         """Run all three phases, each separately timed — the
         `{prune, compress, mul}` triple of `spmma.hxx:117`. Uses the

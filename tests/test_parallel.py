@@ -113,3 +113,25 @@ def test_shard_batch_placement(rng, mesh8):
     assert xs.sharding.spec == jax.sharding.PartitionSpec("data", None, None)
     xr = replicate(x, mesh8)
     assert xr.sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_ring_pallas_explicit_overlap(rng):
+    """Explicit double-buffered RDMA ring (pltpu.make_async_remote_copy)
+    == the single-chip kernel, on the virtual mesh via the TPU
+    interpreter with race detection on (the comm-path sanitizer)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import Mesh
+    from sparsifyme_tpu.parallel.ring_kernel import spmm_24_ring_pallas
+
+    s, b, _ = _problem(rng, batch=2, m=32, k=128, n=24)
+    want = spmm_24(s, b, out_dtype=jnp.float32).reshape(-1, 24)
+    for p in (1, 4):
+        mesh = Mesh(np.array(jax.devices()[:p]), ("model",))
+        got = spmm_24_ring_pallas(
+            s, b, mesh, "model", out_dtype=jnp.float32,
+            interpret=pltpu.InterpretParams(detect_races=True),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got).reshape(-1, 24), np.asarray(want),
+            rtol=1e-4, atol=1e-4,
+        )

@@ -294,3 +294,25 @@ def test_spmm24_vjp_batched(rng):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
         )
+
+
+def test_packed_codes_fp_kernel(rng):
+    """Split-half packed codes through the pipelined kernel: planes are
+    bit-identical to the unpacked path (the 1.78x-ceiling storage)."""
+    from sparsifyme_tpu.ops.sparse24 import pack_codes_fp
+    from sparsifyme_tpu.ops.kernels.spmm24_kernel import spmm24_pallas_fp
+
+    for (bsz, m, k, n) in ((2, 14, 147, 16), (1, 16, 256, 24)):
+        a = _rand(rng, (bsz, m, k), jnp.bfloat16)
+        s = compress_24(prune_24(a)[0])
+        b = _rand(rng, (k, n), jnp.bfloat16)
+        kp = 4 * s.values0.shape[0]
+        bp = jnp.pad(b, ((0, kp - k), (0, 0)))
+        want = spmm24_pallas_fp(s.values0, s.values1, s.codes, bp,
+                                k_logical=k, out_dtype=jnp.float32)
+        cp = pack_codes_fp(s.codes)
+        assert cp.shape[0] == s.codes.shape[0] // 2
+        got = spmm24_pallas_fp(s.values0, s.values1, cp, bp,
+                               k_logical=k, out_dtype=jnp.float32,
+                               packed_codes=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
