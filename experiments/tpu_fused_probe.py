@@ -160,6 +160,7 @@ def run_variant(name, kernel, rows, kp, bm, bk, kmajor_out, dtype=jnp.bfloat16,
             v0, v1, cd = v0.T, v1.T, cd.T
         return v0, v1, cd
 
+    print(f"  {name}: compiling/timing...", flush=True)
     t = time_kernel(f, (x,), carrier=0, iters=8, reps=3)
     floor = (rows * kp * (2 + 1.25)) / 1e6 / HBM
     print(f"  {name:6s} bm={bm:5d} bk={bk:4d}: {t.ms:.3f} ms "
@@ -174,7 +175,6 @@ for rows, kp in ((401408, 256), (401408, 576)):
     bk = 256 if kp == 256 else 576
     cap = max(128, ((1 << 19) // bk) // 128 * 128)
     bm = next(d for d in range(cap, 127, -128) if rows % d == 0)
-    run_variant("io", kernel_io, rows, kp, bm, bk, True)
     run_variant("rank", kernel_rank, rows, kp, bm, bk, True)
     run_variant("dot1", kernel_dot1, rows, kp, bm, bk, True)
     run_variant("rm", kernel_rm, rows, kp, bm, bk, False,

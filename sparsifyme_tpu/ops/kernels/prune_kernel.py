@@ -44,25 +44,36 @@ def _beat_count(a: jax.Array, pos: jax.Array, m: int, axis: int,
 
 
 def _prune_kernel(x_ref, out_ref, mask_ref, *, n: int, m: int):
-    x = x_ref[...]
-    pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % m
+    x_full = x_ref[...]
+    bk = x_full.shape[1]
+    # Chunk at 128 lanes when group boundaries allow: lane rolls across
+    # wider axes shift across vregs (measured 2.2x slower at 256).
+    cw = 128 if (bk % 128 == 0 or bk > 128) and 128 % m == 0 else bk
 
     def lane_roll(v, s):  # pltpu.roll needs s >= 0; jnp.roll semantics
         return pltpu.roll(v, s % v.shape[1], 1)
 
-    if _key_dtype_ok(x.dtype):
-        # One int32 compare per partner (position tiebreak folded into
-        # the key's free low mantissa bits) — ~2x fewer VPU ops than the
-        # two-compare ranking below.
-        cnt = _beat_count_key(_rank_key_i32(x, pos), pos, m, lane_roll)
-    else:
-        # Mosaic's rotate only handles 32-bit element types — rank in
-        # f32 (|x| comparisons are order-preserving).
-        cnt = _beat_count(jnp.abs(x).astype(jnp.float32), pos, m, 1,
-                          lane_roll)
-    keep = cnt < n
-    out_ref[...] = jnp.where(keep, x, jnp.zeros((), x.dtype))
-    mask_ref[...] = keep.astype(mask_ref.dtype)
+    off = 0
+    while off < bk:
+        w = min(cw, bk - off)
+        x = x_full[:, off:off + w]
+        pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % m
+        if _key_dtype_ok(x.dtype):
+            # One int32 compare per partner (position tiebreak folded
+            # into the key's free low mantissa bits) — ~2x fewer VPU
+            # ops than the two-compare ranking below.
+            cnt = _beat_count_key(_rank_key_i32(x, pos), pos, m,
+                                  lane_roll)
+        else:
+            # Mosaic's rotate only handles 32-bit element types — rank
+            # in f32 (|x| comparisons are order-preserving).
+            cnt = _beat_count(jnp.abs(x).astype(jnp.float32), pos, m, 1,
+                              lane_roll)
+        keep = cnt < n
+        out_ref[:, off:off + w] = jnp.where(keep, x,
+                                            jnp.zeros((), x.dtype))
+        mask_ref[:, off:off + w] = keep.astype(mask_ref.dtype)
+        off += w
 
 
 @functools.partial(jax.jit, static_argnames=("n", "m", "interpret",
@@ -397,43 +408,48 @@ def _fused_kernel_v2(x_ref, v0_ref, v1_ref, codes_ref, *, bk: int,
         sums to ``4*i0 + i1`` per group (both terms are small ints,
         exact in bf16).
     """
-    x = x_ref[...]
-    pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % 4
+    x_full = x_ref[...]
+    mm_dtype = x_full.dtype if x_full.dtype == jnp.bfloat16 \
+        else jnp.float32
 
     def lane_roll(v, s):
         return pltpu.roll(v, s % v.shape[1], 1)
 
-    if use_key:
-        key = _rank_key_i32(x, pos)
-        keep32 = jnp.where(
-            _beat_count_key(key, pos, 4, lane_roll) < 2, 1, 0)
-        m0, m1 = _slot_masks_from_keep(keep32, pos, lane_roll)
-    else:
-        m0, m1 = _rank_masks_24(jnp.abs(x).astype(jnp.float32), pos,
-                                lane_roll)
-
-    mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
-    xm0 = (x * m0.astype(x.dtype)).astype(mm_dtype)
-    xm1 = (x * m1.astype(x.dtype)).astype(mm_dtype)
-    code_src = (pos * (4 * m0 + m1)).astype(mm_dtype)
-
     dn = (((1,), (1,)), ((), ()))  # contract both lane dims: sel @ xm^T
     off = 0
     while off < bk:
+        # EVERYTHING is chunked at 128 lanes — ranking included: a
+        # pltpu.roll across a wider lane axis shifts across vregs
+        # (measured 2.2x slower at 256 lanes than 128, and the round-3
+        # probe showed whole-tile ranking at ~5x the HBM floor, the
+        # dots nearly free). Groups of 4 never straddle a 128 boundary.
         w = min(128, bk - off)
+        x = x_full[:, off:off + w]
+        pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % 4
+        if use_key:
+            key = _rank_key_i32(x, pos)
+            keep32 = jnp.where(
+                _beat_count_key(key, pos, 4, lane_roll) < 2, 1, 0)
+            m0, m1 = _slot_masks_from_keep(keep32, pos, lane_roll)
+        else:
+            m0, m1 = _rank_masks_24(jnp.abs(x).astype(jnp.float32), pos,
+                                    lane_roll)
+        xm0 = (x * m0.astype(x.dtype)).astype(mm_dtype)
+        xm1 = (x * m1.astype(x.dtype)).astype(mm_dtype)
+        code_src = (pos * (4 * m0 + m1)).astype(mm_dtype)
+
         rr = jax.lax.broadcasted_iota(jnp.int32, (w // 4, w), 0)
         cc = jax.lax.broadcasted_iota(jnp.int32, (w // 4, w), 1)
         sel = (cc // 4 == rr).astype(mm_dtype)
-        sl = slice(off, off + w)
         g = slice(off // 4, (off + w) // 4)
         v0_ref[g, :] = jax.lax.dot_general(
-            sel, xm0[:, sl], dn, preferred_element_type=jnp.float32,
+            sel, xm0, dn, preferred_element_type=jnp.float32,
         ).astype(v0_ref.dtype)
         v1_ref[g, :] = jax.lax.dot_general(
-            sel, xm1[:, sl], dn, preferred_element_type=jnp.float32,
+            sel, xm1, dn, preferred_element_type=jnp.float32,
         ).astype(v1_ref.dtype)
         codes_ref[g, :] = jax.lax.dot_general(
-            sel, code_src[:, sl], dn, preferred_element_type=jnp.float32,
+            sel, code_src, dn, preferred_element_type=jnp.float32,
         ).astype(jnp.int32).astype(jnp.uint8)
         off += w
 

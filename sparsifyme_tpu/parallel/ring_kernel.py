@@ -165,6 +165,12 @@ def spmm_24_ring_pallas(
 
     *lead, m, k = s.shape
     m_total = int(np.prod(lead, dtype=np.int64)) * m if lead else m
+    if len(mesh.shape) != 1:
+        # The kernel addresses neighbors by LOGICAL device id computed
+        # from the ring-axis index — only the flat id on a 1-D mesh.
+        # Build a 1-D submesh over the ring axis for multi-axis layouts.
+        raise ValueError(
+            f"spmm_24_ring_pallas needs a 1-D mesh (got {dict(mesh.shape)})")
     p = mesh.shape[axis]
     if m_total % p:
         raise ValueError(f"rows {m_total} % P {p} != 0")
