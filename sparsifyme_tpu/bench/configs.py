@@ -82,7 +82,8 @@ def config1_spmm24_resnet50(quick: bool = False) -> Dict:
     return {"config": 1, **summary}
 
 
-def config2_coo_resnet101(quick: bool = False) -> Dict:
+def config2_coo_resnet101(quick: bool = False,
+                          subset_stride: int = 1) -> Dict:
     """Batched COO SpMM over ResNet-101 layers, 50-90% sparsity sweep.
 
     One shared sparse A broadcast over the batch — the stride-0 semantics
@@ -100,6 +101,12 @@ def config2_coo_resnet101(quick: bool = False) -> Dict:
     shapes = sorted(set(resnet_conv_shapes("resnet101")))
     if quick:
         shapes = shapes[:3]
+    elif subset_stride > 1:
+        # Remote compiles dominate a full 17-shape x 3-sparsity x
+        # 3-formulation sweep; a stride subset keeps the crossover
+        # picture (small/medium/large k all represented) inside the
+        # budget. The stride is recorded in the artifact.
+        shapes = shapes[::subset_stride]
     sweeps = (0.5, 0.7, 0.9)
     rows = []
     for s in shapes:
@@ -124,15 +131,22 @@ def config2_coo_resnet101(quick: bool = False) -> Dict:
                 lambda v, c, r, y: spmm_coo_segmented(
                     coo, y, packed=(v, c, r), gather="matmul"),
                 (*packed, bm), carrier=3, iters=4, reps=3)
-            t_sl = time_kernel(
-                lambda v, c, r, y: spmm_coo_segmented(
-                    coo, y, packed=(v, c, r), gather="slices"),
-                (*packed, bm), carrier=3, iters=4, reps=3)
-            best = min(t.ms, t_seg.ms, t_sl.ms)
+            if sp == 0.7:
+                # Slices formulation at one sparsity point only: it is
+                # the A/B reference for the matmul gather, not a
+                # production path, and each point is a fresh compile.
+                t_sl = time_kernel(
+                    lambda v, c, r, y: spmm_coo_segmented(
+                        coo, y, packed=(v, c, r), gather="slices"),
+                    (*packed, bm), carrier=3, iters=4, reps=3)
+                sl_ms = t_sl.ms
+            else:
+                sl_ms = float("nan")
+            best = min(x for x in (t.ms, t_seg.ms, sl_ms) if x == x)
             rows.append({
                 "m": s.m, "n": s.n, "k": s.k, "b": s.b, "sparsity": sp,
                 "dense_ms": t_dense.ms, "coo_xla_ms": t.ms,
-                "coo_seg_ms": t_seg.ms, "coo_seg_slices_ms": t_sl.ms,
+                "coo_seg_ms": t_seg.ms, "coo_seg_slices_ms": sl_ms,
                 # Same convention as the harness's 2:4 column: total
                 # sparse-operand nonzeros touched across the batch per
                 # second (the shared A is re-used by each batch element).
@@ -143,6 +157,7 @@ def config2_coo_resnet101(quick: bool = False) -> Dict:
     return {
         "config": 2,
         "points": len(rows),
+        "shape_subset_stride": subset_stride,
         "coo_xla_ms_geomean": _geomean([r["coo_xla_ms"] for r in rows]),
         "coo_seg_ms_geomean": _geomean([r["coo_seg_ms"] for r in rows]),
         "dense_ms_geomean": _geomean([r["dense_ms"] for r in rows]),

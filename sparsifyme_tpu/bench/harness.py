@@ -59,6 +59,8 @@ class ShapeResult:
     sol24_ms: float = math.nan        # 2:4 SoL time on this chip
     sol_speedup: float = math.nan     # physically possible 2:4 speedup
     spmm24_frac_sol: float = math.nan # achieved fraction of 2:4 SoL
+    fused_sol_ms: float = math.nan    # fused prune+compress SoL
+    fused_frac_sol: float = math.nan  # achieved fraction of fused SoL
 
     def row(self) -> List:
         return [getattr(self, f.name) for f in dataclasses.fields(self)]
@@ -299,8 +301,11 @@ def bench_shape(
     # full FLOPs, 1.25 B/elem A traffic (see bench.roofline). The
     # fraction-of-SoL column is what BASELINE's 1.5x target is judged
     # against on compute-bound layers, where SoL itself is ~1.0x.
-    from .roofline import dense_sol_ms, spmm24_sol_ms
+    from .roofline import dense_sol_ms, fused_sol_ms, spmm24_sol_ms
 
+    out["fused_sol_ms"] = fused_sol_ms(m, k, b)
+    if out.get("fused_ms", 0) > 0:
+        out["fused_frac_sol"] = out["fused_sol_ms"] / out["fused_ms"]
     out["sol24_ms"] = spmm24_sol_ms(
         m, n, k, b,
         packed_codes=bool(tuned.get("spmm24", {}).get("packed")))
@@ -406,6 +411,8 @@ def summarize(results: Sequence[ShapeResult]) -> Dict[str, float]:
             [r.sol_speedup for r in results]),
         "spmm24_frac_sol_geomean": geomean(
             [r.spmm24_frac_sol for r in results]),
+        "fused_frac_sol_geomean": geomean(
+            [r.fused_frac_sol for r in results]),
     }
 
 

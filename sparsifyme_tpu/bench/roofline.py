@@ -40,6 +40,15 @@ class Machine:
     hbm_gbps: float = 780.0       # achieved large-transfer HBM bandwidth
     vpu_tops: float = 3.4         # achieved elementwise f32/bf16 op rate
     expand_ops_per_elem: float = 4.5  # VPU ops per expanded A element
+    # Effective VPU ops per element for 2:4 (|value|, position) ranking
+    # with the int32-key formulation, 128-lane-chunked rolls. Calibrated
+    # from the round-3 TPU probe: ranking a 401408x256 bf16 tile set
+    # measured ~1.4 ms chunked => ~35 ops/elem at the measured VPU rate
+    # (each of the 9 lane rolls is several machine ops). This is what
+    # bounds prune/compress/fused BELOW the HBM floor — the MXU-era
+    # intuition that pruning is "pure bandwidth" does not hold when the
+    # selection policy is a real magnitude ranking.
+    rank_ops_per_elem: float = 35.0
 
 
 V5E = Machine()
@@ -77,6 +86,27 @@ def ell_sol_ms(m: int, n: int, k: int, b: int, mc: Machine = V5E,
     byts = 2.0 * rows * k * density + 2.0 * k * n + 2.0 * rows * n
     return max(flops / (mc.mxu_tflops * 1e12 * _mxu_eff(n)),
                byts / (mc.hbm_gbps * 1e9)) * 1e3
+
+
+def fused_sol_ms(m: int, k: int, b: int, mc: Machine = V5E) -> float:
+    """Fused prune+compress speed-of-light: one dense read + compact
+    writes (HBM term) vs the magnitude-ranking VPU term — whichever
+    binds. (The reference's prune is positional zeroing with no ranking,
+    `sparsify.hxx:58-59`; its 3-5%-of-gemm phase cost is not comparable
+    to a real magnitude-ranked prune.)"""
+    elems = m * b * k
+    byts = (2.0 + 1.25) * elems
+    vpu = mc.rank_ops_per_elem * elems / (mc.vpu_tops * 1e12)
+    return max(byts / (mc.hbm_gbps * 1e9), vpu) * 1e3
+
+
+def prune_sol_ms(m: int, k: int, b: int, mc: Machine = V5E) -> float:
+    """Standalone N:M prune speed-of-light: read + pruned & mask writes
+    (3 dense planes) vs the ranking VPU term."""
+    elems = m * b * k
+    byts = 3 * 2.0 * elems
+    vpu = mc.rank_ops_per_elem * elems / (mc.vpu_tops * 1e12)
+    return max(byts / (mc.hbm_gbps * 1e9), vpu) * 1e3
 
 
 def shape_roofline(m: int, n: int, k: int, b: int,
