@@ -99,6 +99,8 @@ def main() -> None:
                     summary.get("sol_speedup_geomean")),
                 "spmm24_frac_sol_geomean": _r(
                     summary.get("spmm24_frac_sol_geomean")),
+                "fused_frac_sol_geomean": _r(
+                    summary.get("fused_frac_sol_geomean")),
             }
         ),
         flush=True,

@@ -135,3 +135,21 @@ def test_ring_pallas_explicit_overlap(rng):
             np.asarray(got).reshape(-1, 24), np.asarray(want),
             rtol=1e-4, atol=1e-4,
         )
+
+
+def test_ring_pallas_p2_batched(rng):
+    """P=2 + batched A through the RDMA ring (the capacity-credit
+    handshake's smallest ring)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import Mesh
+    from sparsifyme_tpu.parallel.ring_kernel import spmm_24_ring_pallas
+
+    s, b, _ = _problem(rng, batch=4, m=16, k=64, n=16)
+    want = spmm_24(s, b, out_dtype=jnp.float32).reshape(-1, 16)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("model",))
+    got = spmm_24_ring_pallas(
+        s, b, mesh, "model", out_dtype=jnp.float32,
+        interpret=pltpu.InterpretParams(detect_races=True),
+    )
+    np.testing.assert_allclose(np.asarray(got).reshape(-1, 16),
+                               np.asarray(want), rtol=1e-4, atol=1e-4)

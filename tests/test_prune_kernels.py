@@ -91,3 +91,34 @@ def test_fused_prune_compress_op_batched(rng):
     got = spmm_24(prune_compress_24(w), b, out_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_prune_full_width_odd_k(rng):
+    """Odd-k full-width lane tiles (k=650 -> one 652-lane tile) and the
+    chunked-ranking path agree with the XLA oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sparsifyme_tpu.ops.kernels.prune_kernel import prune_nm_pallas
+    from sparsifyme_tpu.ops.prune import prune_nm
+
+    for k in (650, 1920):
+        a = jnp.asarray(rng.normal(size=(2, 24, k)), jnp.bfloat16)
+        got, gmask = jax.jit(lambda x: prune_nm_pallas(x, 2, 4))(a)
+        # XLA-formulation oracle (same ranking semantics)
+        kp = -(-k // 4) * 4
+        ap = jnp.pad(a, ((0, 0), (0, 0), (0, kp - k)))
+        pos = jax.lax.broadcasted_iota(jnp.int32, ap.shape, 2) % 4
+        ab = jnp.abs(ap)
+        cnt = jnp.zeros(ap.shape, jnp.int32)
+        for s in range(1, 4):
+            fwd = jnp.roll(ab, -s, axis=-1)
+            bwd = jnp.roll(ab, 4 - s, axis=-1)
+            wraps = pos + s >= 4
+            pa = jnp.where(wraps, bwd, fwd)
+            ppos = jnp.where(wraps, pos + s - 4, pos + s)
+            beats = (pa > ab) | ((pa == ab) & (ppos > pos))
+            cnt = cnt + beats.astype(jnp.int32)
+        want = jnp.where(cnt < 2, ap, 0)[:, :, :k]
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32), np.asarray(want, np.float32))

@@ -40,3 +40,25 @@ def test_harness_consumes_table(tmp_path, monkeypatch):
     assert res["spmm24_ms"] == res["spmm24_ms"]
     assert res["ell_ms"] == res["ell_ms"]
     tuning._load.cache_clear()
+
+
+def test_harness_consumes_packed_entry(tmp_path, monkeypatch):
+    """A 'packed' spmm24 table entry routes the harness through the
+    packed-codes pipelined kernel (split-half nibble plane)."""
+    import sparsifyme_tpu.bench.tuning as tuning
+    from sparsifyme_tpu.bench.harness import bench_shape
+    from sparsifyme_tpu.utils.shapes import LayerShape
+
+    path = str(tmp_path / "table.json")
+    save_table({shape_key(16, 16, 32, 2): {
+        "gemm": {"fold": True},
+        "spmm24": {"packed": True, "transpose_out": True,
+                   "pipeline": True},
+    }}, path)
+    monkeypatch.setattr(tuning, "TABLE_PATH", path)
+    tuning._load.cache_clear()
+    res = bench_shape(LayerShape(16, 16, 32, 2),
+                      kernels=("gemm", "prune", "spmm24"),
+                      iters=2, reps=1)
+    assert res["spmm24_ms"] == res["spmm24_ms"]  # ran (not NaN)
+    tuning._load.cache_clear()
