@@ -1,4 +1,4 @@
-"""Single-process TPU master run: tune -> smoke -> sweep -> configs.
+"""Single-process TPU master run: anchor -> smoke -> tune -> sweep -> configs.
 
 One process holds the relay claim for the whole session (killing TPU
 processes wedges the claim until a remote timeout, so phase-per-process
@@ -6,20 +6,20 @@ is fragile). Each phase is fault-isolated; the tuner saves per-shape, so
 a crash loses at most one shape.
 
 Phases:
-  1. tune      — per-shape algorithm search -> bench/tuning_table.json
-  2. smoke     — every Pallas kernel on Mosaic-sensitive shapes -> results/tpu_smoke.log
+  0. anchor    — dense 4096^3 bf16 sanity (expect ~182 TFLOP/s)
+  1. smoke     — every Pallas kernel on Mosaic-sensitive shapes
+                 -> results/tpu_smoke.log   (fail fast, before spending
+                 the tune budget on broken kernels)
+  2. tune      — per-shape algorithm search -> bench/tuning_table.json
+                 (wall-budgeted; incremental saves)
   3. sweep     — full ResNet-50 harness sweep (the bench.py workload):
                  refreshes bench_results.csv + compare_tpu.csv and warms
                  the compilation cache the driver's bench run will hit
   4. config1/3 — BASELINE configs on the (now hot) cache -> results/
-  5. config2   — COO crossover on a stride-2 ResNet-101 shape subset
+  5. config2   — COO crossover on a stride-4 ResNet-101 shape subset
 """
 import os
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
-
-import contextlib
 import io
 import json
 import time
@@ -27,7 +27,16 @@ import traceback
 
 import jax
 
+# sitecustomize (PYTHONPATH=/root/.axon_site) imports jax BEFORE this
+# script runs, so cache env vars set here are too late — use the config
+# API (same as bench.py). Without the persistent cache every remote
+# compile (30-100 s each) is lost on exit, and the driver's bench run
+# pays them all again.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 T0 = time.time()
+TUNE_BUDGET_S = float(os.environ.get("TUNE_BUDGET_S", "4800"))
 
 
 def phase(name):
@@ -46,21 +55,33 @@ def guard(fn):
 
 print("backend:", jax.default_backend(), jax.devices(), flush=True)
 
-phase("tune")
+phase("anchor (dense 4096^3 bf16)")
 
 
-def run_tune():
-    from sparsifyme_tpu.bench import tune
+def run_anchor():
+    import jax.numpy as jnp
 
-    return tune.main([])
+    from sparsifyme_tpu.utils.timing import time_kernel
+
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (4096, 4096), jnp.bfloat16)
+    b = jax.random.normal(key, (4096, 4096), jnp.bfloat16)
+    t = time_kernel(lambda x, y: x @ y, (a, b), carrier=1, iters=8,
+                    reps=3)
+    tflops = 2 * 4096**3 / (t.ms * 1e9)
+    print(f"anchor: {t.ms:.3f} ms = {tflops:.1f} TFLOP/s "
+          f"(sanity: ~182)", flush=True)
+    return tflops
 
 
-guard(run_tune)
+guard(run_anchor)
 
 phase("smoke")
 
 
 def run_smoke():
+    import sys
+
     from sparsifyme_tpu.bench import smoke
 
     buf = io.StringIO()
@@ -68,13 +89,9 @@ def run_smoke():
     class Tee(io.TextIOBase):
         def write(self, s):
             buf.write(s)
-            import sys
-
             sys.__stdout__.write(s)
             sys.__stdout__.flush()
             return len(s)
-
-    import sys
 
     old = sys.stdout
     sys.stdout = Tee()
@@ -90,6 +107,17 @@ def run_smoke():
 
 
 guard(run_smoke)
+
+phase(f"tune (budget {TUNE_BUDGET_S:.0f}s)")
+
+
+def run_tune():
+    from sparsifyme_tpu.bench import tune
+
+    return tune.main(["--budget-s", str(TUNE_BUDGET_S)])
+
+
+guard(run_tune)
 
 phase("sweep (resnet50 full, = bench.py workload)")
 
@@ -138,13 +166,13 @@ def run_config3():
 
 guard(run_config3)
 
-phase("config2 (COO crossover, stride-2 subset)")
+phase("config2 (COO crossover, stride-4 subset)")
 
 
 def run_config2():
     from sparsifyme_tpu.bench.configs import config2_coo_resnet101
 
-    r = config2_coo_resnet101(subset_stride=2)
+    r = config2_coo_resnet101(subset_stride=4)
     with open("results/config2.json", "w") as f:
         json.dump(r, f, default=float, indent=1)
     print("config2 saved", flush=True)

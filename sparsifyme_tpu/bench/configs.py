@@ -182,7 +182,12 @@ def config3_fused_pipeline_resnet152(quick: bool = False) -> Dict:
         key = jax.random.PRNGKey(0)
         a = jax.random.normal(key, (s.b, s.m, s.k), jnp.bfloat16)
         bm = jax.random.normal(key, (s.k, s.n), jnp.bfloat16)
-        plan = get_plan(SpmmaConfig(m=s.m, n=s.n, k=s.k, batch=s.b))
+        # bf16 accumulate like the harness sweep: the phase executables
+        # (prune/compress/fused/matmul) are then shared with the sweep's
+        # through the persistent compilation cache — config3 on a warm
+        # cache costs timing only, no fresh remote compiles.
+        plan = get_plan(SpmmaConfig(m=s.m, n=s.n, k=s.k, batch=s.b,
+                                    out_dtype="bfloat16"))
         _, times = plan.timed(a, bm, iters=4, reps=3)
         rows.append((s, times))
     return {

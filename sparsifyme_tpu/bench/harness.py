@@ -206,9 +206,12 @@ def bench_shape(
                     pipeline=e24.get("pipeline", False),
                 )]
             else:
+                # Untuned-shape fallback: the pipelined formulation in
+                # both output layouts — the same trimmed grid the tuner
+                # races (each extra variant is a fresh remote compile).
                 variants = [
-                    dict(transpose_out=tr, pipeline=pipe)
-                    for tr in (False, True) for pipe in (False, True)
+                    dict(transpose_out=tr, pipeline=True)
+                    for tr in (False, True)
                 ]
             cands24 = [
                 time_kernel(

@@ -87,6 +87,24 @@ def check_24(b, m, k, n, dtype=jnp.bfloat16, tol=2e-2):
     got = spmm_24(s, bm, out_dtype=jnp.float32, alpha=0.5, beta=2.0,
                   c=c0, pipeline=True)
     _close(f"{tag} spmm24 alpha/beta", got, 0.5 * want + 2.0 * c0, tol)
+    if dtype == jnp.bfloat16 and k <= 1024:
+        # Packed-codes pipelined kernel — a tuning-table-selectable
+        # production path (harness.py spmm24 branch), so the gate must
+        # cover it like the plain formulations.
+        from ..ops.sparse24 import pack_codes_fp
+        from ..ops.kernels.spmm24_kernel import spmm24_pallas_fp
+
+        cp = jax.jit(pack_codes_fp)(s.codes)
+        kp = 4 * s.values0.shape[0]
+        bp = jnp.pad(bm, ((0, kp - k), (0, 0)))
+        for tout in (False, True):
+            got = np.asarray(spmm24_pallas_fp(
+                s.values0, s.values1, cp, bp, k_logical=k,
+                out_dtype=jnp.float32, transpose_out=tout,
+                packed_codes=True))
+            got = (got.T if tout else got).reshape(want.shape)
+            _close(f"{tag} spmm24 packed tout={int(tout)}", got, want,
+                   tol)
 
 
 def check_grad(b, m, k, n):

@@ -50,27 +50,39 @@ def _time(fn, operands, carrier, iters, reps) -> float:
     return t.ms if t.ms > 0 else float("inf")
 
 
-def spmm24_candidates(m: int, n: int, k: int) -> Tuple[Dict, ...]:
-    """(block_m, block_n, block_k4, transpose_out, pipeline) grid —
-    heuristic tilings in both formulations/layouts plus explicit
-    block_m overrides around the heuristic's preference cliffs."""
+def spmm24_candidates(m: int, n: int, k: int,
+                      full: bool = False) -> Tuple[Dict, ...]:
+    """(block_m, block_n, block_k4, transpose_out, pipeline) grid.
+
+    The default grid is the pipelined formulation in both output
+    layouts — remote compiles are 30-100 s each, so every candidate
+    must earn its slot (round 2's 13-variant live search blew the
+    driver budget). ``full=True`` restores the classic-grid kernels
+    and the block_m overrides around the heuristic's preference
+    cliffs for offline deep tuning."""
     cands = [
         dict(block_m=None, block_n=None, block_k4=None,
-             transpose_out=tr, pipeline=pipe)
-        for tr in (False, True) for pipe in (False, True)
+             transpose_out=tr, pipeline=True)
+        for tr in (False, True)
     ]
-    for bm in (1024, 4096):
-        cands.append(dict(block_m=bm, block_n=None, block_k4=None,
-                          transpose_out=True, pipeline=True))
-    cands.append(dict(block_m=1024, block_n=None, block_k4=None,
-                      transpose_out=False, pipeline=True))
-    cands.append(dict(block_m=512, block_n=None, block_k4=None,
-                      transpose_out=True, pipeline=False))
+    if full:
+        cands += [
+            dict(block_m=None, block_n=None, block_k4=None,
+                 transpose_out=tr, pipeline=False)
+            for tr in (False, True)
+        ]
+        for bm in (1024, 4096):
+            cands.append(dict(block_m=bm, block_n=None, block_k4=None,
+                              transpose_out=True, pipeline=True))
+        cands.append(dict(block_m=1024, block_n=None, block_k4=None,
+                          transpose_out=False, pipeline=True))
+        cands.append(dict(block_m=512, block_n=None, block_k4=None,
+                          transpose_out=True, pipeline=False))
     return tuple(cands)
 
 
 def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
-               reps: int, dtype=jnp.bfloat16) -> Dict:
+               reps: int, dtype=jnp.bfloat16, full: bool = False) -> Dict:
     key = jax.random.PRNGKey(0)
     ka, kb2 = jax.random.split(key)
     a = jax.random.normal(ka, (b, m, k), dtype)
@@ -92,7 +104,7 @@ def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
     if "spmm24" in ops:
         s = jax.jit(lambda x: compress_24(prune_nm(x, 2, 4)[0]))(a)
         best, best_ms = None, float("inf")
-        for cand in spmm24_candidates(m, n, k):
+        for cand in spmm24_candidates(m, n, k, full=full):
             ms = _time(
                 lambda ss, y, _c=cand: spmm_24(ss, y, out_dtype=dtype,
                                                **_c),
@@ -128,9 +140,16 @@ def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
     if "ell" in ops:
         bs = 128
         heur = 32 if k < 512 else (64 if k < 1536 else 128)
-        bkbs = sorted({heur} | (
-            {64} if k < 512 and k >= 128 else
-            ({32, 128} if k < 1536 else {64})))
+        # Heuristic k-edge plus ONE alternative (compile budget: each
+        # extra bkb is 2-4 fresh remote compiles per shape; full=True
+        # restores the wider offline grid).
+        if full:
+            alt = ({64} if k < 512 and k >= 128 else
+                   ({32, 128} if k < 1536 else {64}))
+        else:
+            alt = ({64} if k < 512 and k >= 128 else
+                   ({128} if k < 1536 else {64}))
+        bkbs = sorted({heur} | alt)
         bkbs = [x for x in bkbs if 2 * x <= _round_up(k, 2 * x)]
         best, best_ms = None, float("inf")
         for bkb in bkbs:
@@ -152,7 +171,7 @@ def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
                     best = dict(formulation="gather", transpose_out=tr,
                                 block_size=bs, block_k=bkb)
                     best_ms = ms
-            if k <= 1024:
+            if k <= 1024 and (full or bkb == heur):
                 vkm = jax.jit(ell_values_kmajor)(e)
                 cols = e.col_indices.reshape(-1, e.col_indices.shape[-1])
                 for tr in (False, True):
@@ -186,6 +205,14 @@ def main(argv=None) -> int:
     p.add_argument("--fresh", action="store_true",
                    help="ignore existing entries (default: skip shapes "
                         "already fully tuned for the requested ops)")
+    p.add_argument("--full", action="store_true",
+                   help="wide candidate grid (offline deep tuning; the "
+                        "default grid is sized for remote-compile cost)")
+    p.add_argument("--budget-s", type=float, default=None,
+                   help="wall-clock budget; stop starting new shapes "
+                        "after this many seconds (table stays partial — "
+                        "the harness falls back to its default search "
+                        "for missing shapes)")
     args = p.parse_args(argv)
     ops = tuple(args.ops.split(","))
 
@@ -200,10 +227,14 @@ def main(argv=None) -> int:
             print(f"[{i + 1}/{len(shapes)}] {kkey}: already tuned",
                   flush=True)
             continue
+        if args.budget_s and time.time() - t0 > args.budget_s:
+            print(f"[{i + 1}/{len(shapes)}] {kkey}: SKIPPED — tune "
+                  f"budget {args.budget_s:.0f}s exhausted", flush=True)
+            continue
         print(f"[{i + 1}/{len(shapes)}] {kkey}: tuning {todo} "
               f"(t={time.time() - t0:.0f}s)", flush=True)
         entry = tune_shape(s.m, s.n, s.k, s.b, todo, iters=args.iters,
-                           reps=args.reps)
+                           reps=args.reps, full=args.full)
         table[kkey] = {**have, **entry}
         save_table(table, args.table)  # incremental: survive timeouts
     print(f"done in {time.time() - t0:.0f}s -> {args.table}", flush=True)
