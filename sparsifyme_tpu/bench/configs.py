@@ -133,13 +133,20 @@ def config2_coo_resnet101(quick: bool = False,
                 (*packed, bm), carrier=3, iters=4, reps=3)
             if sp == 0.7:
                 # Slices formulation at one sparsity point only: it is
-                # the A/B reference for the matmul gather, not a
-                # production path, and each point is a fresh compile.
-                t_sl = time_kernel(
-                    lambda v, c, r, y: spmm_coo_segmented(
-                        coo, y, packed=(v, c, r), gather="slices"),
-                    (*packed, bm), carrier=3, iters=4, reps=3)
-                sl_ms = t_sl.ms
+                # the interpret-mode A/B reference for the matmul
+                # gather, not a production path (it does not lower on
+                # real TPUs — Mosaic sublane-alignment rule), and each
+                # point is a fresh compile.
+                try:
+                    t_sl = time_kernel(
+                        lambda v, c, r, y: spmm_coo_segmented(
+                            coo, y, packed=(v, c, r), gather="slices"),
+                        (*packed, bm), carrier=3, iters=4, reps=3)
+                    sl_ms = t_sl.ms
+                except Exception:  # NotImplementedError on TPU; also
+                    # Mosaic lowering errors from pre-gate module
+                    # versions already imported in a running process.
+                    sl_ms = float("nan")
             else:
                 sl_ms = float("nan")
             best = min(x for x in (t.ms, t_seg.ms, sl_ms) if x == x)
@@ -221,15 +228,23 @@ def config4_row_partitioned_scaling(quick: bool = False) -> Dict:
     from jax.sharding import Mesh
     from ..ops.prune import prune_nm
     from ..ops.sparse24 import compress_24
-    from ..parallel.spmm_sharded import spmm_24_ring
+    from ..parallel.spmm_sharded import spmm_24_ring, spmm_24_row_sharded
 
     nd = len(jax.devices())
-    # WEAK scaling: per-device work is fixed (batch grows with P), so
-    # the reported curve is interpretable even on the emulated CPU mesh
-    # -- a fixed small problem strong-scaled across 8 host threads
-    # measured scheduler noise, not the kernel (round-2 verdict). The
+    # WEAK scaling: per-device work is fixed (batch grows with P). The
     # ring code path runs at EVERY P including 1 (P=1 is the ring with
     # zero rotations, not the single-chip kernel).
+    #
+    # On the emulated CPU mesh the P "devices" are threads sharing one
+    # physical CPU, so raw per-device throughput MUST collapse as P
+    # grows — that measures host saturation, not the ring (round-2's
+    # junk curve). The interpretable emulation metric is the ring's
+    # overhead against the zero-communication ideal at the SAME P on
+    # the SAME mesh: spmm_24_row_sharded (B replicated, no halo
+    # exchange) does identical local compute, so
+    # ``comm_efficiency = ideal_ms / ring_ms`` isolates what the halo
+    # exchange costs. On a real pod slice the same two timings give the
+    # classic scaling-efficiency number (the ideal is then flat).
     bsz0, m, n, k = (2, 256, 128, 512) if quick else (4, 1024, 256, 2048)
 
     def run_p(p):
@@ -242,11 +257,18 @@ def config4_row_partitioned_scaling(quick: bool = False) -> Dict:
         ring = jax.jit(
             lambda ss, y, _mesh=mesh: spmm_24_ring(ss, y, _mesh, "model"))
         tP = time_kernel(ring, (s, bm), carrier=1, iters=4, reps=3)
+        ideal = jax.jit(
+            lambda ss, y, _mesh=mesh: spmm_24_row_sharded(
+                ss, y, _mesh, "model"))
+        tI = time_kernel(ideal, (s, bm), carrier=1, iters=4, reps=3)
         nnz = bsz * m * (k // 2)
         return {
             "devices": p,
             "batch": bsz,
             "ring_ms": tP.ms,
+            "ideal_ms": tI.ms,
+            "comm_efficiency": tI.ms / tP.ms if tP.ms > 0 else
+            float("nan"),
             "nnz_per_s_per_device": nnz / (tP.ms * 1e-3) / p,
         }
 
@@ -257,7 +279,10 @@ def config4_row_partitioned_scaling(quick: bool = False) -> Dict:
         p *= 2
     base = points[0]["nnz_per_s_per_device"]
     for pt in points:
-        pt["scaling_efficiency"] = pt["nnz_per_s_per_device"] / base
+        # Raw weak-scaling ratio (meaningful on real chips; on the CPU
+        # mesh it mostly tracks host saturation — see comm_efficiency).
+        pt["weak_scaling_throughput_ratio"] = (
+            pt["nnz_per_s_per_device"] / base)
 
     # Overlap evidence: the explicit double-buffered RDMA ring kernel
     # (pltpu.make_async_remote_copy, parallel.ring_kernel) -- structural
@@ -292,7 +317,11 @@ def config4_row_partitioned_scaling(quick: bool = False) -> Dict:
             "race_detection": jax.default_backend() != "tpu",
         },
         "note": "weak scaling (fixed per-device work), ring path at "
-                "every P; CPU-mesh emulation unless run on a pod slice",
+                "every P. comm_efficiency = zero-comm ideal / ring at "
+                "the same P — the emulation-valid overhead metric (raw "
+                "per-device throughput on a CPU mesh measures host "
+                "saturation, not the ring); on a pod slice the same "
+                "pair is the classic scaling efficiency",
     }
 
 

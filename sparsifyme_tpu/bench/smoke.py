@@ -172,7 +172,12 @@ def check_coo(m, k, n, batch, sparsity=0.7, tol=2e-2):
                            jnp.bfloat16)
     want = spmm_coo(coo, bm, out_dtype=jnp.float32)
     packed = pack_coo(coo)
-    for gather in ("matmul", "slices"):
+    # "slices" is the interpret-mode A/B reference only — it does not
+    # lower on real TPUs (Mosaic sublane-alignment rule; see
+    # coo_kernel.spmm_coo_pallas).
+    gathers = (("matmul",) if jax.default_backend() == "tpu"
+               else ("matmul", "slices"))
+    for gather in gathers:
         got = spmm_coo_segmented(coo, bm, out_dtype=jnp.float32,
                                  packed=packed, gather=gather)
         _close(f"{tag} segmented {gather}", got, want, tol)
@@ -227,20 +232,33 @@ def main() -> int:
         print("WARNING: not a TPU backend — this gate is only "
               "meaningful on the real chip", flush=True)
 
+    def guard(fn, *args, **kw):
+        """One crashing check (e.g. a Mosaic lowering error) must not
+        abort the gate — record it as a failure and keep going, so the
+        log still shows the status of every kernel."""
+        import traceback
+
+        name = f"{fn.__name__}{args}"
+        try:
+            fn(*args, **kw)
+        except Exception:
+            traceback.print_exc()
+            _report(name, False, "(raised)")
+
     # Mosaic-sensitive shape set: odd k (147 -> kp 192 full-width tile;
     # 650 -> kp 704; 1920 hits the row-major (1216, 2048] window), tiny
     # m=1, small m=196, plus an aligned production shape.
-    check_24(2, 196, 147, 64)
-    check_24(1, 1, 64, 128)
-    check_24(2, 128, 650, 96)
-    check_24(1, 256, 1920, 128)
-    check_24(4, 784, 1024, 256)
-    check_24(1, 100, 148, 96, dtype=jnp.float32, tol=1e-4)
-    check_grad(2, 196, 256, 64)
-    check_prune_variants(2, 196, 147)
-    check_ell(2, 196, 147, 64)
-    check_ell(4, 784, 1024, 256)
-    check_coo(784, 512, 64, 4)
+    guard(check_24, 2, 196, 147, 64)
+    guard(check_24, 1, 1, 64, 128)
+    guard(check_24, 2, 128, 650, 96)
+    guard(check_24, 1, 256, 1920, 128)
+    guard(check_24, 4, 784, 1024, 256)
+    guard(check_24, 1, 100, 148, 96, dtype=jnp.float32, tol=1e-4)
+    guard(check_grad, 2, 196, 256, 64)
+    guard(check_prune_variants, 2, 196, 147)
+    guard(check_ell, 2, 196, 147, 64)
+    guard(check_ell, 4, 784, 1024, 256)
+    guard(check_coo, 784, 512, 64, 4)
     print(f"\n{'PASS' if not FAILURES else 'FAIL'}: "
           f"{len(FAILURES)} failures in {time.time() - t0:.0f}s",
           flush=True)

@@ -183,13 +183,21 @@ def spmm_coo_pallas(
     block-row COO SpMM (see module docstring).
 
     ``gather``: "matmul" (one-hot MXU gather of each 128-slot tile),
-    "slices" (128 dynamic single-row slices), or "auto" (matmul — it
-    wins everywhere measured; slices kept for A/B and as the fallback
-    for very wide k where the [128, kp] one-hot would blow VMEM)."""
+    "slices" (128 dynamic single-row slices), or "auto" (always matmul
+    — it wins everywhere measured, and on real TPUs the slices
+    formulation does not lower: Mosaic rejects dynamic single-row
+    sublane loads, "cannot statically prove that index in dimension 0
+    is a multiple of 8"; slices is kept as the interpret-mode A/B
+    reference for the matmul gather)."""
     if interpret is None:
         interpret = default_interpret()
     if gather == "auto":
-        gather = "matmul" if b.shape[0] <= 8192 else "slices"
+        gather = "matmul"
+    if gather == "slices" and not interpret:
+        raise NotImplementedError(
+            "gather='slices' does not lower on TPU (Mosaic requires "
+            "statically 8-aligned sublane starts for single-row "
+            "vector loads); use gather='matmul'")
     mb, e = vals2.shape
     if e % GROUP:
         raise ValueError(f"entry count {e} not a multiple of {GROUP}")
