@@ -259,10 +259,12 @@ def bench_shape(
         else:
             gather_touts = (False, True)
             expand_touts = (False, True) if k < 512 else ()
+        acc = bool(te.get("accum_dots", False))
         cands = [
             time_kernel(
                 lambda ee, y, _tr=tr: spmm_ell(ee, y, out_dtype=dtype,
-                                               transpose_out=_tr),
+                                               transpose_out=_tr,
+                                               accum_dots=acc),
                 (e, bp), carrier=1, iters=iters, reps=reps,
             )
             for tr in gather_touts

@@ -36,7 +36,9 @@ from typing import Dict
 class Machine:
     """Measured machine constants (see :func:`measure_machine`)."""
 
-    mxu_tflops: float = 182.0     # dense bf16 matmul, large square (anchor)
+    mxu_tflops: float = 194.0     # dense bf16 matmul, large square (anchor;
+    # round-3 master run measured 194.7 = 99% of the v5e 197 peak —
+    # round 2's 182 made every SoL denominator ~7% too easy)
     hbm_gbps: float = 780.0       # achieved large-transfer HBM bandwidth
     vpu_tops: float = 3.4         # achieved elementwise f32/bf16 op rate
     expand_ops_per_elem: float = 4.5  # VPU ops per expanded A element

@@ -145,6 +145,10 @@ def check_ell(b, m, k, n, tol=2e-2):
         if tout:
             got = np.asarray(got).swapaxes(-1, -2).reshape(want.shape)
         _close(f"{tag} gather tout={int(tout)}", got, want, tol)
+    if bkb >= 64:
+        # Copy-free accumulated-dots gather (table-selectable).
+        got = spmm_ell(e, bm, out_dtype=jnp.float32, accum_dots=True)
+        _close(f"{tag} gather accum", got, want, tol)
     vkm = jax.jit(ell_values_kmajor)(e)
     cols = e.col_indices.reshape(-1, e.col_indices.shape[-1])
     for tout in (False, True):

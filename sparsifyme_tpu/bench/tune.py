@@ -160,17 +160,23 @@ def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
             bp = jnp.pad(bm_, ((0, kp - k), (0, 0)))
             e = jax.jit(lambda x, _eb=ell_blocks, _bk=bkb: ell_from_dense(
                 x, block_size=bs, ell_blocks=_eb, block_k=_bk))(ap)
-            for tr in (False, True):
-                ms = _time(
-                    lambda ee, y, _tr=tr: spmm_ell(
-                        ee, y, out_dtype=dtype, transpose_out=_tr),
-                    (e, bp), 1, iters, reps)
-                print(f"    ell gather bkb={bkb} tout={tr}: {ms:.3f} ms",
-                      flush=True)
-                if ms < best_ms:
-                    best = dict(formulation="gather", transpose_out=tr,
-                                block_size=bs, block_k=bkb)
-                    best_ms = ms
+            # accum_dots (copy-free per-slab dots) only pays at wide
+            # block edges where depth-bkb dots keep the MXU busy.
+            accs = (False, True) if bkb >= 64 else (False,)
+            for acc in accs:
+                for tr in (False, True):
+                    ms = _time(
+                        lambda ee, y, _tr=tr, _a=acc: spmm_ell(
+                            ee, y, out_dtype=dtype, transpose_out=_tr,
+                            accum_dots=_a),
+                        (e, bp), 1, iters, reps)
+                    print(f"    ell gather bkb={bkb} tout={tr} "
+                          f"acc={int(acc)}: {ms:.3f} ms", flush=True)
+                    if ms < best_ms:
+                        best = dict(formulation="gather",
+                                    transpose_out=tr, block_size=bs,
+                                    block_k=bkb, accum_dots=acc)
+                        best_ms = ms
             if k <= 1024 and (full or bkb == heur):
                 vkm = jax.jit(ell_values_kmajor)(e)
                 cols = e.col_indices.reshape(-1, e.col_indices.shape[-1])
@@ -213,10 +219,19 @@ def main(argv=None) -> int:
                         "after this many seconds (table stays partial — "
                         "the harness falls back to its default search "
                         "for missing shapes)")
+    p.add_argument("--shapes", default=None,
+                   help="comma-separated mxnxkxb keys (e.g. "
+                        "784x256x2304x32) — tune only these; for "
+                        "targeted deep re-tunes of weak shapes with "
+                        "--full --fresh")
     args = p.parse_args(argv)
     ops = tuple(args.ops.split(","))
 
     shapes = sorted(set(resnet_conv_shapes(args.model)))
+    if args.shapes:
+        want = set(args.shapes.split(","))
+        shapes = [s for s in shapes
+                  if shape_key(s.m, s.n, s.k, s.b) in want]
     table = dict(load_table(args.table))
     t0 = time.time()
     for i, s in enumerate(shapes):

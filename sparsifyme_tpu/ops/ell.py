@@ -130,10 +130,13 @@ def spmm_ell(
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
     transpose_out: bool = False,
+    accum_dots: bool = False,
 ) -> jax.Array:
     """Batched Blocked-ELL SpMM: ``ell_to_dense(e) @ b`` with zero blocks
     skipped on the MXU. ``transpose_out`` returns C^T ``[n, M]`` (batch
     folded in lanes; column-major convention, cheaper for small n).
+    ``accum_dots`` selects the copy-free per-slab-dot formulation
+    (tuning-table choice; wins at wide block edges).
 
     ``e`` may carry batch dims (the reference's batch of `ell_t`s,
     `spmm.hxx:31`); ``b (k, n)`` is shared across the batch
@@ -182,6 +185,7 @@ def spmm_ell(
         block_n=block_n,
         interpret=interpret,
         transpose_out=transpose_out,
+        accum_dots=accum_dots,
     )
     if transpose_out:
         return _epilogue(out, alpha, beta, c, out_dtype)

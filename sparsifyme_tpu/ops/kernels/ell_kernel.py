@@ -41,22 +41,49 @@ from .spmm24_kernel import _cdiv, _round_up, default_interpret
 
 
 def _kernel(col_ref, val_ref, b_ref, out_ref, *, mblk: int, n_ell: int,
-            bs: int, bkb: int, mb: int, tout: bool):
+            bs: int, bkb: int, mb: int, tout: bool, accum: bool):
     ib = pl.program_id(1)
 
     for r in range(mblk):  # static unroll over the tile's block-rows
         row = (ib * mblk + r) * n_ell
         # Gather this block-row's B slabs by SUBLANE dynamic slices
         # (any offset — lane slices would need 128-alignment, which a
-        # 32-wide block edge cannot give) and concatenate into one
-        # [ellk, bn] operand: a single deep MXU dot per block-row
-        # instead of n_ell shallow ones.
+        # 32-wide block edge cannot give).
         slabs = [
             b_ref[pl.ds(col_ref[row + e] * bkb, bkb), :]
             for e in range(n_ell)
         ]
-        bg = jax.lax.concatenate(slabs, 0) if n_ell > 1 else slabs[0]
         a_blk = val_ref[r * bs:(r + 1) * bs, :]
+        if accum:
+            # Per-slab accumulated dots: each gathered slab feeds the
+            # MXU directly — no [ellk, bn] concatenate copy. At wide
+            # block edges (bkb >= 64) the depth-bkb dots keep the array
+            # busy and skipping the materialized copy (2*ellk*bn bytes
+            # of VMEM writes+reads per block-row) is a pure win; at
+            # bkb = 32 prefer the concat formulation below, whose one
+            # deep dot compensates the copy.
+            acc = None
+            for e in range(n_ell):
+                a_e = a_blk[:, e * bkb:(e + 1) * bkb]
+                if tout:
+                    d = jax.lax.dot_general(
+                        slabs[e], a_e, (((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    d = jnp.dot(a_e, slabs[e],
+                                preferred_element_type=jnp.float32)
+                acc = d if acc is None else acc + d
+            if tout:
+                out_ref[:, r * bs:(r + 1) * bs] = acc[
+                    :out_ref.shape[0]].astype(out_ref.dtype)
+            else:
+                out_ref[r * bs:(r + 1) * bs, :] = acc.astype(
+                    out_ref.dtype)
+            continue
+        # Concatenate into one [ellk, bn] operand: a single deep MXU
+        # dot per block-row instead of n_ell shallow ones.
+        bg = jax.lax.concatenate(slabs, 0) if n_ell > 1 else slabs[0]
         if tout:
             # C^T orientation: [bn, bs], n in sublanes (no 128-lane
             # padding for small n). The dot's row count follows B's
@@ -76,7 +103,7 @@ def _kernel(col_ref, val_ref, b_ref, out_ref, *, mblk: int, n_ell: int,
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "block_k", "out_dtype", "block_n",
-                     "interpret", "transpose_out"),
+                     "interpret", "transpose_out", "accum_dots"),
 )
 def ell_spmm_pallas(
     values: jax.Array,       # [M, ell_blocks * bkb] (batch folded in rows)
@@ -89,10 +116,13 @@ def ell_spmm_pallas(
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
     transpose_out: bool = False,
+    accum_dots: bool = False,
 ) -> jax.Array:
     """C[M, n] = BlockedEll(values, col_indices) @ b (batch-folded);
     ``transpose_out`` emits C^T [n, M] (column-major convention, no
-    lane padding for small n)."""
+    lane padding for small n). ``accum_dots`` skips the per-block-row
+    slab concatenate in favor of accumulated per-slab dots (see
+    `_kernel`; a tuning-table-selectable formulation)."""
     if interpret is None:
         interpret = default_interpret()
     bs = block_size
@@ -214,7 +244,7 @@ def ell_spmm_pallas(
     out = pl.pallas_call(
         functools.partial(
             _kernel, mblk=mblk, n_ell=n_ell, bs=bs, bkb=bkb, mb=mb,
-            tout=transpose_out,
+            tout=transpose_out, accum=accum_dots,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
