@@ -74,6 +74,13 @@ def spmm24_candidates(m: int, n: int, k: int,
         for bm in (1024, 4096):
             cands.append(dict(block_m=bm, block_n=None, block_k4=None,
                               transpose_out=True, pipeline=True))
+        for tr in (False, True):
+            # The heuristic's 12 MB VMEM budget is conservative (the
+            # kernel's hard cap is 64 MB): fatter m-tiles halve the
+            # per-step fixed costs on shapes where the picker dropped
+            # to bm <= 1024.
+            cands.append(dict(block_m=2048, block_n=None, block_k4=None,
+                              transpose_out=tr, pipeline=True))
         cands.append(dict(block_m=1024, block_n=None, block_k4=None,
                           transpose_out=False, pipeline=True))
         cands.append(dict(block_m=512, block_n=None, block_k4=None,
