@@ -149,4 +149,18 @@ def run_config3():
 
 guard(run_config3)
 
+phase("config2 (COO crossover, stride-4 subset)")
+
+
+def run_config2():
+    from sparsifyme_tpu.bench.configs import config2_coo_resnet101
+
+    r = config2_coo_resnet101(subset_stride=4)
+    with open("results/config2.json", "w") as f:
+        json.dump(r, f, default=float, indent=1)
+    print("config2 saved", flush=True)
+
+
+guard(run_config2)
+
 print(f"\nALL PHASES DONE in {time.time() - T0:.0f}s", flush=True)

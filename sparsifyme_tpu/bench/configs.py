@@ -121,8 +121,15 @@ def config2_coo_resnet101(quick: bool = False,
         for sp in sweeps:
             thr = float(np.quantile(np.abs(np.asarray(a)), sp))
             ap, _ = prune_threshold(a, threshold=thr)
-            nnz = int(s.m * s.k * (1 - sp))
-            coo = jax.jit(lambda x: coo_from_dense(x, nnz=nnz))(ap)
+            # coo_from_dense is host-side by contract (data-dependent
+            # nnz; not jittable) — format build is untimed, like the
+            # reference driver's host-side COO generation. Quantile
+            # ties can leave slightly more nonzeros than the nominal
+            # count, so pad to whichever is larger.
+            apn = np.asarray(ap)
+            nnz = max(int(s.m * s.k * (1 - sp)),
+                      int(np.count_nonzero(apn)))
+            coo = coo_from_dense(apn, nnz=nnz)
 
             t = time_kernel(spmm_coo, (coo, bm), carrier=1, iters=4,
                             reps=3)

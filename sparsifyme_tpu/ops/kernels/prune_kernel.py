@@ -386,6 +386,89 @@ def _fused_kernel_rm(x_ref, v0_ref, v1_ref, codes_ref):
     codes_ref[...] = (i0 * 4 + i1).astype(jnp.int32).astype(jnp.uint8)
 
 
+def _rank_masks_mxu(x, pos, mm_dtype):
+    """Slot masks computed with MXU assistance: group-local rotations
+    of |x| ride exact 0/1-matrix f32 contractions instead of lane
+    rolls, and the kept-before prefix rides a strictly-lower-triangular
+    contraction. VPU work drops from ~35 to ~20 ops/elem; the extra
+    dots (~4*128 MACs/elem) run on the otherwise-lightly-loaded MXU.
+
+    Exactness (bf16 inputs only — the caller gates): |x| is
+    bf16-representable, each rotation matrix has ONE 0/1 nonzero per
+    output row, and f32 accumulation of a single exact product is the
+    permuted value bit-exactly. The ranking order — (|value|,
+    position), later positions win ties — is enforced by static
+    per-lane tiebreak masks (position comparisons are lane-static for a
+    fixed rotation), so selection matches `_beat_count` bit-for-bit."""
+    w = x.shape[1]
+    a = jnp.abs(x)                       # bf16, exact
+    af = a.astype(jnp.float32)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)  # out lane
+    rr = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)  # in lane
+    same_group = (cc // 4) == (rr // 4)
+    cnt = jnp.zeros(x.shape, jnp.int32)
+    for s in range(1, 4):
+        # rot_s[i] = a[group-local i+s mod 4]: R[i, j] = 1 where j is
+        # my s-th partner. a @ R^T with R as [out, in].
+        rot = ((rr % 4) == ((cc + s) % 4)) & same_group
+        pa = jax.lax.dot_general(
+            a, rot.astype(a.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # Partner position (pos+s) mod 4 > pos iff pos < 4-s: static
+        # per lane.
+        tie = (pos + s) < 4
+        beats = (pa > af) | ((pa == af) & tie)
+        cnt = cnt + beats.astype(jnp.int32)
+    keep = jnp.where(cnt < 2, 1.0, 0.0).astype(a.dtype)
+    # kept_before = # kept group members at earlier positions: a
+    # strictly-lower-triangular (within group) contraction of keep.
+    lower = (same_group & (rr < cc)).astype(a.dtype)
+    kb = jax.lax.dot_general(
+        keep, lower, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    keepf = keep.astype(jnp.float32)
+    m0 = (keepf * jnp.where(kb == 0, 1.0, 0.0)).astype(mm_dtype)
+    m1 = (keepf * jnp.where(kb == 1, 1.0, 0.0)).astype(mm_dtype)
+    return m0, m1
+
+
+def _fused_kernel_v3(x_ref, v0_ref, v1_ref, codes_ref, *, bk: int):
+    """Fused prune+compress with MXU-assisted ranking (see
+    `_rank_masks_mxu`); same tile contract as `_fused_kernel_v2`."""
+    x_full = x_ref[...]
+    mm_dtype = x_full.dtype if x_full.dtype == jnp.bfloat16 \
+        else jnp.float32
+
+    dn = (((1,), (1,)), ((), ()))  # contract both lane dims: sel @ xm^T
+    off = 0
+    while off < bk:
+        w = min(128, bk - off)
+        x = x_full[:, off:off + w]
+        pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % 4
+        m0, m1 = _rank_masks_mxu(x, pos, jnp.float32)
+        xm0 = (x.astype(jnp.float32) * m0).astype(mm_dtype)
+        xm1 = (x.astype(jnp.float32) * m1).astype(mm_dtype)
+        code_src = (pos.astype(jnp.float32)
+                    * (4.0 * m0 + m1)).astype(mm_dtype)
+
+        rr = jax.lax.broadcasted_iota(jnp.int32, (w // 4, w), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (w // 4, w), 1)
+        sel = (cc // 4 == rr).astype(mm_dtype)
+        g = slice(off // 4, (off + w) // 4)
+        v0_ref[g, :] = jax.lax.dot_general(
+            sel, xm0, dn, preferred_element_type=jnp.float32,
+        ).astype(v0_ref.dtype)
+        v1_ref[g, :] = jax.lax.dot_general(
+            sel, xm1, dn, preferred_element_type=jnp.float32,
+        ).astype(v1_ref.dtype)
+        codes_ref[g, :] = jax.lax.dot_general(
+            sel, code_src, dn, preferred_element_type=jnp.float32,
+        ).astype(jnp.int32).astype(jnp.uint8)
+        off += w
+
+
 def _fused_kernel_v2(x_ref, v0_ref, v1_ref, codes_ref, *, bk: int,
                      use_key: bool):
     """Fused prune+compress v2: row-major dense tile [bm, bk] in,
@@ -455,13 +538,15 @@ def _fused_kernel_v2(x_ref, v0_ref, v1_ref, codes_ref, *, bk: int,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "kmajor",
-                                              "block_rows", "block_k"))
+                                              "block_rows", "block_k",
+                                              "rank_mxu"))
 def prune_compress_24_pallas(
     w: jax.Array,
     interpret: Optional[bool] = None,
     kmajor: bool = True,
     block_rows: Optional[int] = None,
     block_k: Optional[int] = None,
+    rank_mxu: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused prune+compress: row-major dense ``w [..., m, k]`` ->
     k-major planes ``(v0, v1, codes) [k4, M]`` in ONE kernel pass.
@@ -544,8 +629,14 @@ def prune_compress_24_pallas(
             jax.ShapeDtypeStruct((kpp // 4, rp), w.dtype),
             jax.ShapeDtypeStruct((kpp // 4, rp), jnp.uint8),
         ]
-        kernel = functools.partial(_fused_kernel_v2, bk=bk,
-                                   use_key=_key_dtype_ok(w.dtype))
+        if rank_mxu and w.dtype == jnp.bfloat16:
+            # MXU-assisted ranking (bf16 only — exactness argument in
+            # `_rank_masks_mxu`): selectable A/B against the key-trick
+            # VPU ranking.
+            kernel = functools.partial(_fused_kernel_v3, bk=bk)
+        else:
+            kernel = functools.partial(_fused_kernel_v2, bk=bk,
+                                       use_key=_key_dtype_ok(w.dtype))
     else:
         pspec = pl.BlockSpec((bm, bk // 4), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
