@@ -188,3 +188,34 @@ def test_spmm_ell_gather_transpose_out_batched(rng):
     want = (np.asarray(dense, np.float64).reshape(-1, 256)
             @ np.asarray(b, np.float64)).T
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_ell_accum_dots_matches_oracle(rng):
+    """Copy-free per-slab-dot gather formulation == concat formulation
+    == oracle (both output layouts)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sparsifyme_tpu.ops.ell import (ell_from_dense, spmm_ell,
+                                        spmm_ell_reference)
+
+    for (b, m, k, n, bkb) in [(2, 196, 1024, 64, 64),
+                              (1, 256, 2048, 512, 128)]:
+        bs = 128
+        kp = -(-k // (2 * bkb)) * (2 * bkb)
+        mp = -(-m // bs) * bs
+        a = jnp.asarray(rng.normal(size=(b, m, k)), jnp.bfloat16)
+        ap = jnp.pad(a, ((0, 0), (0, mp - m), (0, kp - k)))
+        bm = jnp.asarray(rng.normal(size=(kp, n)), jnp.bfloat16)
+        e = ell_from_dense(ap, block_size=bs,
+                           ell_blocks=max(1, (kp // bkb) // 2),
+                           block_k=bkb)
+        want = np.asarray(spmm_ell_reference(e, bm, out_dtype=jnp.float32))
+        for tr in (False, True):
+            got = np.asarray(spmm_ell(e, bm, out_dtype=jnp.float32,
+                                      transpose_out=tr, accum_dots=True))
+            if tr:
+                got = got.swapaxes(-1, -2).reshape(want.shape)
+            else:
+                got = got.reshape(want.shape)
+            np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)

@@ -122,3 +122,28 @@ def test_prune_full_width_odd_k(rng):
         want = jnp.where(cnt < 2, ap, 0)[:, :, :k]
         np.testing.assert_array_equal(
             np.asarray(got, np.float32), np.asarray(want, np.float32))
+
+
+def test_fused_rank_mxu_bit_identical(rng):
+    """MXU-assisted ranking (rotations + prefix as exact 0/1
+    contractions) selects bit-identically to compress(prune) — the
+    shared (|value|, position) invariant."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sparsifyme_tpu.ops.kernels.prune_kernel import (
+        prune_compress_24_pallas)
+    from sparsifyme_tpu.ops.prune import prune_nm
+    from sparsifyme_tpu.ops.sparse24 import compress_24
+
+    for (b, m, k) in [(2, 196, 147), (1, 100, 148), (1, 64, 1024)]:
+        a = jnp.asarray(rng.normal(size=(b, m, k)), jnp.bfloat16)
+        s = compress_24(prune_nm(a, 2, 4)[0])
+        v0, v1, codes = prune_compress_24_pallas(
+            a.reshape(-1, k), rank_mxu=True)
+        np.testing.assert_array_equal(
+            np.asarray(v0, np.float32), np.asarray(s.values0, np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(v1, np.float32), np.asarray(s.values1, np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(codes, np.int32), np.asarray(s.codes, np.int32))
