@@ -167,10 +167,20 @@ def bench_shape(
         _mark("fused")
         from ..ops.sparse24 import prune_compress_24
 
-        t = time_kernel(
+        # Two ranking formulations (identical selection, different
+        # engine balance): roll-based VPU ranking vs MXU-assisted
+        # rotations (bf16). Best-of, like the kernel-layout searches.
+        cands_f = [time_kernel(
             prune_compress_24, (a,), carrier=0,
             iters=max(4, iters // 2), reps=reps,
-        )
+        )]
+        if dtype == jnp.bfloat16:
+            cands_f.append(time_kernel(
+                lambda x: prune_compress_24(x, rank_mxu=True), (a,),
+                carrier=0, iters=max(4, iters // 2), reps=reps,
+            ))
+        t = min((x for x in cands_f if x.ms > 0),
+                key=lambda x: x.ms, default=cands_f[0])
         out["fused_ms"] = t.ms
         s = jax.jit(compress_24)(pruned)
         _mark("spmm24")

@@ -71,6 +71,13 @@ def check_24(b, m, k, n, dtype=jnp.bfloat16, tol=2e-2):
     _equal(f"{tag} fused(rowmajor) == compress(prune)",
            (v0, v1, codes.astype(jnp.int32)),
            (s.values0, s.values1, s.codes.astype(jnp.int32)))
+    if dtype == jnp.bfloat16:
+        v0, v1, codes = jax.jit(
+            lambda x: prune_compress_24_pallas(x.reshape(-1, k),
+                                               rank_mxu=True))(a)
+        _equal(f"{tag} fused(rank_mxu) == compress(prune)",
+               (v0, v1, codes.astype(jnp.int32)),
+               (s.values0, s.values1, s.codes.astype(jnp.int32)))
 
     want = spmm_24_reference(s, bm, out_dtype=jnp.float32)
     for pipe in (False, True):

@@ -111,8 +111,8 @@ def compress_24(w: jax.Array) -> Sparse24:
     )
 
 
-@jax.jit
-def prune_compress_24(w: jax.Array) -> Sparse24:
+@functools.partial(jax.jit, static_argnames=("rank_mxu",))
+def prune_compress_24(w: jax.Array, rank_mxu: bool = False) -> Sparse24:
     """Fused prune+compress: dense ``w`` -> :class:`Sparse24` in one
     kernel pass (one HBM read of the dense weights, compact writes).
 
@@ -123,14 +123,16 @@ def prune_compress_24(w: jax.Array) -> Sparse24:
     later positions win ties), the fusion is semantically
     ``compress_24(prune_nm(w)[0])`` — bit-identical planes — at ~1/4 of
     the HBM traffic (no pruned-dense round trip, no full-size k-major
-    pre-transpose).
+    pre-transpose). ``rank_mxu`` selects the MXU-assisted ranking
+    formulation (bf16 only; see `prune_kernel._rank_masks_mxu`) — a
+    benchmark-raceable A/B, identical selection.
     """
     *lead, m, k = w.shape
     if jax.default_backend() == "tpu":
         from .kernels.prune_kernel import prune_compress_24_pallas
 
         w2 = w.reshape(-1, k)
-        v0, v1, codes = prune_compress_24_pallas(w2)
+        v0, v1, codes = prune_compress_24_pallas(w2, rank_mxu=rank_mxu)
         return Sparse24(values0=v0, values1=v1, codes=codes, shape=w.shape)
     # XLA path: compress_24 already selects top-2 per group from dense.
     return compress_24(w)
