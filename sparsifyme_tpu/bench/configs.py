@@ -63,6 +63,7 @@ def config0_threshold_gemm_cpu(quick: bool = False) -> Dict:
             rows.append((s, sparsity, t.ms))
     return {
         "config": 0,
+        "backend": jax.default_backend(),
         "layers": len(uniq),
         "sparsity_mean": float(np.mean([r[1] for r in rows])),
         "gemm_ms_geomean": _geomean([r[2] for r in rows]),
@@ -79,7 +80,7 @@ def config1_spmm24_resnet50(quick: bool = False) -> Dict:
         max_layers=8 if quick else None,
         verbose=False,
     )
-    return {"config": 1, **summary}
+    return {"config": 1, "backend": jax.default_backend(), **summary}
 
 
 def config2_coo_resnet101(quick: bool = False,
@@ -170,6 +171,7 @@ def config2_coo_resnet101(quick: bool = False,
     wins = [r for r in rows if r["speedup_vs_dense"] > 1.0]
     return {
         "config": 2,
+        "backend": jax.default_backend(),
         "points": len(rows),
         "shape_subset_stride": subset_stride,
         "coo_xla_ms_geomean": _geomean([r["coo_xla_ms"] for r in rows]),
@@ -206,6 +208,7 @@ def config3_fused_pipeline_resnet152(quick: bool = False) -> Dict:
         rows.append((s, times))
     return {
         "config": 3,
+        "backend": jax.default_backend(),
         "layers": len(rows),
         "prune_ms_geomean": _geomean([r[1]["prune"].ms for r in rows]),
         "compress_ms_geomean": _geomean(
@@ -317,6 +320,7 @@ def config4_row_partitioned_scaling(quick: bool = False) -> Dict:
                 (jnp.max(jnp.abs(want)) + 1e-9))
     return {
         "config": 4,
+        "backend": jax.default_backend(),
         "shape": {"b_per_device": bsz0, "m": m, "n": n, "k": k},
         "points": points,
         "explicit_overlap_ring": {
