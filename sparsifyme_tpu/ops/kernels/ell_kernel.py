@@ -140,10 +140,18 @@ def ell_spmm_pallas(
     if kp != k:
         b = jnp.pad(b, ((0, kp - k), (0, 0)))
 
-    # n-tile: as fat as a ~4 MB resident B slab allows.
+    # n-tile: as fat as a ~4 MB resident B slab allows. For n < 128 a
+    # full-width (non-128) lane block is Mosaic-legal and skips the
+    # lane pad — padding to 128 doubles the C write traffic on the
+    # n=64 ResNet layers, the dominant bytes there.
     budget = 4 * 1024 * 1024
     bn_cap = max(128, (budget // (kp * b.dtype.itemsize)) // 128 * 128)
-    bn = block_n or min(_round_up(n, 128), 1024, bn_cap)
+    if block_n:
+        bn = block_n
+    elif n < 128 and n % 8 == 0:
+        bn = n
+    else:
+        bn = min(_round_up(n, 128), 1024, bn_cap)
     np_ = _round_up(n, bn)
     if np_ != n:
         b = jnp.pad(b, ((0, 0), (0, np_ - n)))
@@ -327,7 +335,14 @@ def ell_expand_spmm_pallas(
     kp = _round_up(k, bkb)
     if kp != k:
         b = jnp.pad(b, ((0, kp - k), (0, 0)))
-    bn = block_n or min(_round_up(n, 128), 1024)
+    # Full-width lane block for n < 128 (see ell_spmm_pallas): halves
+    # the C write traffic on n=64 layers vs padding to 128.
+    if block_n:
+        bn = block_n
+    elif n < 128 and n % 8 == 0:
+        bn = n
+    else:
+        bn = min(_round_up(n, 128), 1024)
     np_ = _round_up(n, bn)
     if np_ != n:
         b = jnp.pad(b, ((0, 0), (0, np_ - n)))
