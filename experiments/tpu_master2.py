@@ -85,7 +85,7 @@ phase("tune ell (fresh, accum candidates)")
 def run_tune_ell():
     from sparsifyme_tpu.bench import tune
 
-    return tune.main(["--ops", "ell", "--fresh", "--budget-s", "1800"])
+    return tune.main(["--ops", "ell", "--fresh", "--budget-s", "1500"])
 
 
 guard(run_tune_ell)
@@ -97,7 +97,7 @@ def run_tune_24():
     from sparsifyme_tpu.bench import tune
 
     return tune.main(["--ops", "spmm24", "--full", "--fresh",
-                      "--budget-s", "2100"])
+                      "--budget-s", "1800"])
 
 
 guard(run_tune_24)
