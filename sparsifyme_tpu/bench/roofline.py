@@ -51,6 +51,14 @@ class Machine:
     # intuition that pruning is "pure bandwidth" does not hold when the
     # selection policy is a real magnitude ranking.
     rank_ops_per_elem: float = 35.0
+    # The MXU-assisted ranking formulation (prune_kernel._rank_masks_mxu,
+    # bf16) moves the group rotations and the kept-before prefix onto
+    # the MXU: ~20 VPU ops/elem remain, and the dots cost ~608
+    # MACs/elem (3 rotation + 1 prefix contractions at 128 MACs/elem +
+    # 3 compaction contractions at 32). The fused floor takes whichever
+    # formulation is faster per element.
+    rank_mxu_vpu_ops: float = 20.0
+    rank_mxu_flops_per_elem: float = 1216.0
 
 
 V5E = Machine()
@@ -92,14 +100,19 @@ def ell_sol_ms(m: int, n: int, k: int, b: int, mc: Machine = V5E,
 
 def fused_sol_ms(m: int, k: int, b: int, mc: Machine = V5E) -> float:
     """Fused prune+compress speed-of-light: one dense read + compact
-    writes (HBM term) vs the magnitude-ranking VPU term — whichever
-    binds. (The reference's prune is positional zeroing with no ranking,
-    `sparsify.hxx:58-59`; its 3-5%-of-gemm phase cost is not comparable
-    to a real magnitude-ranked prune.)"""
+    writes (HBM term) vs the magnitude-ranking engine term — the
+    cheaper of the roll-based VPU ranking and the MXU-assisted ranking
+    (each element must still be ranked; which unit pays differs by
+    formulation). (The reference's prune is positional zeroing with no
+    ranking, `sparsify.hxx:58-59`; its 3-5%-of-gemm phase cost is not
+    comparable to a real magnitude-ranked prune.)"""
     elems = m * b * k
     byts = (2.0 + 1.25) * elems
-    vpu = mc.rank_ops_per_elem * elems / (mc.vpu_tops * 1e12)
-    return max(byts / (mc.hbm_gbps * 1e9), vpu) * 1e3
+    rank_roll = mc.rank_ops_per_elem / (mc.vpu_tops * 1e12)
+    rank_mxu = max(mc.rank_mxu_vpu_ops / (mc.vpu_tops * 1e12),
+                   mc.rank_mxu_flops_per_elem / (mc.mxu_tflops * 1e12))
+    rank = elems * min(rank_roll, rank_mxu)
+    return max(byts / (mc.hbm_gbps * 1e9), rank) * 1e3
 
 
 def prune_sol_ms(m: int, k: int, b: int, mc: Machine = V5E) -> float:
