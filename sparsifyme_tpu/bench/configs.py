@@ -132,8 +132,11 @@ def config2_coo_resnet101(quick: bool = False,
                       int(np.count_nonzero(apn)))
             coo = coo_from_dense(apn, nnz=nnz)
 
-            t = time_kernel(spmm_coo, (coo, bm), carrier=1, iters=4,
-                            reps=3)
+            # Chunked oracle: the unchunked gather materializes
+            # [b, nnz, n] f32 and OOMs HBM at 50% sparsity.
+            t = time_kernel(
+                lambda c, y: spmm_coo(c, y, batch_chunk=4),
+                (coo, bm), carrier=1, iters=4, reps=3)
             packed = pack_coo(coo)
             t_seg = time_kernel(
                 lambda v, c, r, y: spmm_coo_segmented(

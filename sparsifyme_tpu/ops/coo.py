@@ -56,11 +56,18 @@ def coo_from_dense(w, nnz: Optional[int] = None) -> Coo:
     )
 
 
-def spmm_coo(a: Coo, b: jax.Array, *, out_dtype=None) -> jax.Array:
+def spmm_coo(a: Coo, b: jax.Array, *, out_dtype=None,
+             batch_chunk: Optional[int] = None) -> jax.Array:
     """C[..., m, n] = A @ B[..., k, n] with A shared across batch dims.
 
     Gather rows of B at A's column coords, scale by A's values, and
     segment-sum into C's rows. Padded entries (value 0) contribute nothing.
+
+    ``batch_chunk``: process the (flattened) batch in sequential chunks
+    of this size via `lax.map`. The gather materializes an
+    ``[batch_chunk, nnz, n]`` f32 intermediate — an unchunked vmap at
+    low sparsity OOMs HBM (measured: 18.6 GB at 50% on 196x2048-class
+    shapes, b=32).
     """
     m, _ = a.shape
     out_dtype = out_dtype or jnp.promote_types(a.dtype, b.dtype)
@@ -75,6 +82,17 @@ def spmm_coo(a: Coo, b: jax.Array, *, out_dtype=None) -> jax.Array:
         return jax.ops.segment_sum(gathered, a.rows, num_segments=m)
 
     batch_dims = b.ndim - 2
+    if batch_chunk and batch_dims:
+        *lead, k, n = b.shape
+        import numpy as np
+
+        bsz = int(np.prod(lead))
+        if bsz % batch_chunk:
+            raise ValueError(
+                f"batch {bsz} not divisible by batch_chunk {batch_chunk}")
+        b3 = b.reshape(bsz // batch_chunk, batch_chunk, k, n)
+        out = jax.lax.map(jax.vmap(one), b3)
+        return out.reshape(*lead, m, n).astype(out_dtype)
     f = one
     for _ in range(batch_dims):
         f = jax.vmap(f)
