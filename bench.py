@@ -30,11 +30,17 @@ def main() -> None:
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--csv", default="bench_results.csv")
     p.add_argument("--compare-csv", default="compare_tpu.csv")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (surface check without "
+                        "claiming the TPU; timings are not meaningful)")
     args = p.parse_args()
 
     # Persistent compilation cache: first sweep pays remote-compile cost
     # once; later runs are seconds.
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
