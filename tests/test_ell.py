@@ -219,3 +219,35 @@ def test_spmm_ell_accum_dots_matches_oracle(rng):
             else:
                 got = got.reshape(want.shape)
             np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_spmm_ell_n64_fullwidth_blocks(rng):
+    """n < 128 layers take full-width (non-128) lane blocks — no C pad
+    (round-3 fix: padding n=64 to 128 doubled the C write traffic).
+    Both kernels, both output layouts, vs the dense oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sparsifyme_tpu.ops.ell import (ell_from_dense, ell_values_kmajor,
+                                        spmm_ell, spmm_ell_reference)
+    from sparsifyme_tpu.ops.kernels.ell_kernel import ell_expand_spmm_pallas
+
+    b_, m, k, n, bs, bkb = 2, 256, 128, 64, 128, 32
+    a = jnp.asarray(rng.normal(size=(b_, m, k)), jnp.bfloat16)
+    bm = jnp.asarray(rng.normal(size=(k, n)), jnp.bfloat16)
+    e = ell_from_dense(a, block_size=bs, ell_blocks=2, block_k=bkb)
+    want = np.asarray(spmm_ell_reference(e, bm, out_dtype=jnp.float32))
+    for tr in (False, True):
+        got = np.asarray(spmm_ell(e, bm, out_dtype=jnp.float32,
+                                  transpose_out=tr))
+        if tr:
+            got = got.swapaxes(-1, -2)
+        np.testing.assert_allclose(got.reshape(want.shape), want,
+                                   rtol=2e-2, atol=2e-2)
+    vkm = ell_values_kmajor(e)
+    cols = e.col_indices.reshape(-1, e.col_indices.shape[-1])
+    got = np.asarray(ell_expand_spmm_pallas(
+        vkm, cols, bm, block_size=bs, block_k=bkb,
+        out_dtype=jnp.float32))
+    np.testing.assert_allclose(got.reshape(want.shape), want,
+                               rtol=2e-2, atol=2e-2)
