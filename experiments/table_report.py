@@ -29,7 +29,10 @@ from sparsifyme_tpu.models.resnet_shapes import resnet_conv_shapes
 
 
 def geomean(xs):
-    xs = [x for x in xs if x == x and x > 0]
+    # Entries may lack an op family (r.get() -> None): drop non-numbers
+    # before the NaN/positivity filter.
+    xs = [x for x in xs
+          if isinstance(x, (int, float)) and x == x and x > 0]
     return math.exp(sum(math.log(x) for x in xs) / len(xs)) if xs else float("nan")
 
 

@@ -148,23 +148,30 @@ def config2_coo_resnet101(quick: bool = False,
                 # gather, not a production path (it does not lower on
                 # real TPUs — Mosaic sublane-alignment rule), and each
                 # point is a fresh compile.
+                sl_err = None
                 try:
                     t_sl = time_kernel(
                         lambda v, c, r, y: spmm_coo_segmented(
                             coo, y, packed=(v, c, r), gather="slices"),
                         (*packed, bm), carrier=3, iters=4, reps=3)
                     sl_ms = t_sl.ms
-                except Exception:  # NotImplementedError on TPU; also
-                    # Mosaic lowering errors from pre-gate module
-                    # versions already imported in a running process.
+                except NotImplementedError:
+                    # The documented TPU gate (Mosaic sublane-alignment
+                    # limit; slices is the interpret-mode A/B reference).
                     sl_ms = float("nan")
+                except Exception as exc:
+                    # Anything else (OOM, relay fault) must stay visible
+                    # in the artifact, not fold into the known-NaN case.
+                    sl_ms = float("nan")
+                    sl_err = f"{type(exc).__name__}: {str(exc)[:200]}"
             else:
-                sl_ms = float("nan")
+                sl_ms, sl_err = float("nan"), None
             best = min(x for x in (t.ms, t_seg.ms, sl_ms) if x == x)
             rows.append({
                 "m": s.m, "n": s.n, "k": s.k, "b": s.b, "sparsity": sp,
                 "dense_ms": t_dense.ms, "coo_xla_ms": t.ms,
                 "coo_seg_ms": t_seg.ms, "coo_seg_slices_ms": sl_ms,
+                **({"coo_seg_slices_error": sl_err} if sl_err else {}),
                 # Same convention as the harness's 2:4 column: total
                 # sparse-operand nonzeros touched across the batch per
                 # second (the shared A is re-used by each batch element).

@@ -209,6 +209,22 @@ def spmm_coo_pallas(
     bn_cap = max(128, (budget // (kp * b.dtype.itemsize)) // 128 * 128)
     bn = block_n or min(_round_up(n, 128), 1024, bn_cap)
     np_ = _round_up(n, bn)
+    if gather == "matmul" and not interpret:
+        # The matmul gather keeps a [kp, bn] B slab resident and builds
+        # [128, kp] one-hot operands per slot tile; very wide k blows
+        # VMEM and the failure would otherwise surface as an opaque
+        # Mosaic allocation error. Fail early with an actionable message
+        # (the slices fallback that used to cover this regime does not
+        # lower on TPU at all).
+        need = 2 * kp * bn * b.dtype.itemsize + 128 * kp * 4 \
+            + 128 * np_ * 4
+        cap = 100 * 1024 * 1024
+        if need > cap:
+            raise ValueError(
+                f"spmm_coo_segmented matmul gather: k={k} (padded {kp}) "
+                f"with block_n={bn} needs ~{need >> 20} MB of VMEM "
+                f"(> {cap >> 20} MB). Split the contraction axis or "
+                "pass a smaller block_n.")
     if kp != k or np_ != n:
         b = jnp.pad(b, ((0, kp - k), (0, np_ - n)))
 

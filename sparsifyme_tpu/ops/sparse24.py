@@ -179,7 +179,7 @@ import collections
 _Cfg = collections.namedtuple(
     "_Cfg",
     "k_logical out_dtype block_m block_n block_k4 interpret transpose_out "
-    "pipeline",
+    "pipeline packed",
 )
 
 
@@ -193,10 +193,14 @@ def _spmm24_core(cfg: "_Cfg", v0, v1, codes, b):
         # double-buffered VMEM slabs. Wins on most bandwidth-bound
         # layers; the classic grid wins elsewhere — matmul_search /
         # the bench harness picks per shape (the alg-selection story).
+        # ``cfg.packed``: consume split-half packed codes (1.125 B/elem
+        # A traffic). The pack runs per call here — callers that can
+        # hoist it (the bench harness, plan.set_operand) pre-pack and
+        # call the kernel directly instead.
         return spmm24_pallas_fp(
             v0,
             v1,
-            codes,
+            pack_codes_fp(codes) if cfg.packed else codes,
             b,
             k_logical=cfg.k_logical,
             out_dtype=cfg.out_dtype,
@@ -204,6 +208,7 @@ def _spmm24_core(cfg: "_Cfg", v0, v1, codes, b):
             block_k4=cfg.block_k4,
             interpret=cfg.interpret,
             transpose_out=cfg.transpose_out,
+            packed_codes=cfg.packed,
         )
     return spmm24_pallas(
         v0,
@@ -288,6 +293,7 @@ def spmm_24(
     interpret: Optional[bool] = None,
     transpose_out: bool = False,
     pipeline: bool = False,
+    packed_codes: bool = False,
 ) -> jax.Array:
     """Structured-sparse matmul ``decompress(s) @ b`` on the MXU.
 
@@ -326,6 +332,9 @@ def spmm_24(
     # Planes are k-major batch-folded [k4, M]; the kernel consumes them
     # directly and the output [M, n] splits back along its leading dim
     # for free.
+    if packed_codes and not pipeline:
+        raise ValueError("packed_codes requires the pipelined "
+                         "formulation (pipeline=True)")
     cfg = _Cfg(
         k_logical=k,
         out_dtype=out_dtype or jnp.promote_types(s.dtype, b.dtype),
@@ -335,6 +344,7 @@ def spmm_24(
         interpret=interpret,
         transpose_out=transpose_out,
         pipeline=pipeline,
+        packed=packed_codes,
     )
     out = _spmm24_core(cfg, s.values0, s.values1, s.codes, b)
     # alpha/beta epilogue around the differentiable core: XLA fuses the

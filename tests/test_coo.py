@@ -154,3 +154,22 @@ def test_spmm_coo_batch_chunk_matches_vmap(rng):
     got = np.asarray(spmm_coo(coo, b, out_dtype=jnp.float32,
                               batch_chunk=4))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_matmul_gather_wide_k_guard():
+    """Very wide k must fail fast with an actionable ValueError (not an
+    opaque Mosaic/VMEM compile error): the one-hot matmul gather keeps
+    [kp, bn] B resident in VMEM (ADVICE r3)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from sparsifyme_tpu.ops.kernels.coo_kernel import spmm_coo_pallas
+
+    k = 131072
+    vals2 = jnp.zeros((1, 128), jnp.float32)
+    cols2 = jnp.zeros((1, 128), jnp.int32)
+    roff2 = jnp.zeros((1, 128), jnp.int32)
+    b = jnp.zeros((k, 128), jnp.bfloat16)
+    with pytest.raises(ValueError, match="VMEM"):
+        spmm_coo_pallas(vals2, cols2, roff2, b, m=128,
+                        gather="matmul", interpret=False)

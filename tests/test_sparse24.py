@@ -316,3 +316,37 @@ def test_packed_codes_fp_kernel(rng):
                                k_logical=k, out_dtype=jnp.float32,
                                packed_codes=True)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_spmm24_packed_codes_api(rng):
+    """spmm_24(packed_codes=True) — the op-level packed path the plan
+    uses (round-4 wiring of VERDICT r3 item 6) — matches the reference
+    oracle bit-for-bit vs the unpacked pipelined path."""
+    w = _rand(rng, (2, 64, 96), jnp.bfloat16)
+    bm = _rand(rng, (96, 48), jnp.bfloat16)
+    pruned, _ = prune_24(w)
+    s = compress_24(pruned)
+    want = spmm_24(s, bm, out_dtype=jnp.float32, pipeline=True)
+    got = spmm_24(s, bm, out_dtype=jnp.float32, pipeline=True,
+                  packed_codes=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    with pytest.raises(ValueError):
+        spmm_24(s, bm, pipeline=False, packed_codes=True)
+
+
+def test_plan_uses_packed_table_entry():
+    """A shape whose committed tuning-table winner is packed (e.g.
+    12544x64x256x32) must surface packed=True in the plan's algorithm
+    tuple — the production API reaches the tuner's fastest config
+    (plan construction only: abstract eval, no device compute)."""
+    from sparsifyme_tpu.bench.tuning import load_table
+    from sparsifyme_tpu.plan import SpmmaConfig, SpmmaPlan
+
+    packed_keys = [k for k, e in load_table().items()
+                   if e.get("spmm24", {}).get("packed")]
+    if not packed_keys:
+        pytest.skip("no packed winners in the committed table")
+    m, n, k, b = map(int, packed_keys[0].split("x"))
+    plan = SpmmaPlan(SpmmaConfig(m=m, n=n, k=k, batch=b,
+                                 out_dtype="bfloat16"))
+    assert plan.algorithm[5] is True
