@@ -32,7 +32,7 @@ from ..ops.gemm import batched_gemm
 from ..ops.prune import prune_nm
 from ..ops.sparse24 import compress_24, spmm_24
 from ..utils.shapes import LayerShape
-from ..utils.timing import time_kernel
+from ..utils.timing import time_kernel, time_kernel_pair
 
 
 @dataclasses.dataclass
@@ -55,10 +55,20 @@ class ShapeResult:
     spmm24_speedup: float = math.nan
     ell_speedup: float = math.nan
     nnz_per_s: float = math.nan       # 2:4 kernel nonzeros/second
+    # Paired-protocol diagnostics (utils.timing.time_kernel_pair): the
+    # dense baseline re-measured ADJACENT to each sparse kernel —
+    # speedups above are the paired ratios, immune to the 3x
+    # between-episode dense variance (VERDICT r3 item 2).
+    gemm24_pair_ms: float = math.nan   # dense ms from the 2:4 pair
+    gemmell_pair_ms: float = math.nan  # dense ms from the ELL pair
+    pair_spread24: float = math.nan    # max/min per-pair ratio (2:4)
+    pair_spreadell: float = math.nan   # max/min per-pair ratio (ELL)
     # Roofline (analytic speed-of-light, bench.roofline):
     sol24_ms: float = math.nan        # 2:4 SoL time on this chip
     sol_speedup: float = math.nan     # physically possible 2:4 speedup
     spmm24_frac_sol: float = math.nan # achieved fraction of 2:4 SoL
+    ell_sol_ms: float = math.nan      # blocked-ELL @50% SoL time
+    ell_frac_sol: float = math.nan    # achieved fraction of ELL SoL
     fused_sol_ms: float = math.nan    # fused prune+compress SoL
     fused_frac_sol: float = math.nan  # achieved fraction of fused SoL
 
@@ -71,6 +81,41 @@ CSV_COLUMNS = [f.name for f in dataclasses.fields(ShapeResult)]
 
 def _round_up(a: int, b: int) -> int:
     return -(-a // b) * b
+
+
+def build_ell_operand(a: jax.Array, *, block_size: int, block_k: int,
+                      fold_first: bool):
+    """Construct the benchmark's Blocked-ELL operand at 50% block
+    sparsity from a dense batch ``a [b, m, k]``.
+
+    ``fold_first=True`` stacks the batch into one tall ``[b*m, k]``
+    matrix BEFORE block selection, so block-rows may span sample
+    boundaries. This is the batched analog of the dense baseline's own
+    ``fold=True`` formulation (one tall GEMM) and removes the per-sample
+    m-padding entirely on the ResNet sweep (every ``m*b`` there is a
+    multiple of 128, while m=196 alone pads 31% and m=784 pads 14% —
+    padded rows run real dots on zeros). The per-sample layout
+    (``fold_first=False``) mirrors the reference's batch of independent
+    `ell_t` matrices (`spmm.cu:42-113`); both carry identical nominal
+    sparsity and the tuner races/records the choice per shape.
+    """
+    b_, m, k = a.shape
+    bs, bkb = block_size, block_k
+    kp = _round_up(k, 2 * bkb)
+    ell_blocks = max(1, (kp // bkb) // 2)
+    if fold_first:
+        af = a.reshape(b_ * m, k)
+        mp = _round_up(b_ * m, bs)
+        ap = jnp.pad(af, ((0, mp - b_ * m), (0, kp - k)))
+    else:
+        mp = _round_up(m, bs)
+        ap = jnp.pad(a, ((0, 0), (0, mp - m), (0, kp - k)))
+    import functools
+
+    build = jax.jit(functools.partial(
+        ell_from_dense, block_size=bs, ell_blocks=ell_blocks,
+        block_k=bkb))
+    return build(ap), kp
 
 
 def bench_shape(
@@ -116,6 +161,7 @@ def bench_shape(
     # NOTE: every step function threads ALL device arrays through the loop
     # state — a closure over a large array would be baked into the jitted
     # executable as a constant (catastrophic with remote compilation).
+    dense_fn = None  # best dense formulation, reused for paired timing
     if "gemm" in kernels:
         _mark("gemm")
         # The dense baseline is the BEST dense formulation: shared-B
@@ -124,21 +170,37 @@ def bench_shape(
         folds = ((tuned["gemm"]["fold"],) if "gemm" in tuned
                  else (True, False))
         cands_g = [
-            time_kernel(
+            (f, time_kernel(
                 lambda x, y, _f=f: batched_gemm(x, y, out_dtype=dtype,
                                                 fold=_f),
                 (a, bm), carrier=1, iters=iters, reps=reps,
-            )
+            ))
             for f in folds
         ]
-        best = min(
-            (t for t in cands_g if t.ms > 0),
-            key=lambda t: t.ms, default=cands_g[0],
+        best_fold, best = min(
+            ((f, t) for f, t in cands_g if t.ms > 0),
+            key=lambda ft: ft[1].ms, default=cands_g[0],
         )
+        dense_fn = (lambda x, y, _f=best_fold:
+                    batched_gemm(x, y, out_dtype=dtype, fold=_f))
         out["gemm_ms"] = best.ms
         out["gemm_tflops"] = (
             flops / (best.ms * 1e9) if best.ms > 0 else math.nan
         )
+
+    def _paired(fn, operands, carrier):
+        """Winner-vs-dense paired measurement (VERDICT r3 item 2):
+        returns (sparse_ms, paired_dense_ms, speedup, spread). Falls
+        back to unpaired timing when no dense baseline was requested."""
+        if dense_fn is None:
+            t = time_kernel(fn, operands, carrier=carrier, iters=iters,
+                            reps=reps)
+            return t.ms, math.nan, math.nan, math.nan
+        p = time_kernel_pair(
+            dense_fn, (a, bm), fn, operands,
+            carrier_a=1, carrier_b=carrier, iters=iters, reps=reps,
+        )
+        return p.b.ms, p.a.ms, p.ratio, p.ratio_spread
 
     pruned = None
     if "prune" in kernels or "spmm24" in kernels:
@@ -169,16 +231,28 @@ def bench_shape(
 
         # Two ranking formulations (identical selection, different
         # engine balance): roll-based VPU ranking vs MXU-assisted
-        # rotations (bf16). Best-of, like the kernel-layout searches.
-        cands_f = [time_kernel(
-            prune_compress_24, (a,), carrier=0,
-            iters=max(4, iters // 2), reps=reps,
-        )]
-        if dtype == jnp.bfloat16:
-            cands_f.append(time_kernel(
-                lambda x: prune_compress_24(x, rank_mxu=True), (a,),
-                carrier=0, iters=max(4, iters // 2), reps=reps,
-            ))
+        # rotations (bf16). Best-of, like the kernel-layout searches;
+        # a tuned entry pins the winner + tiling knobs instead.
+        fe = tuned.get("fused")
+        if fe:
+            cands_f = [time_kernel(
+                lambda x: prune_compress_24(
+                    x, rank_mxu=fe.get("rank_mxu", False),
+                    block_rows=fe.get("block_rows"),
+                    block_k=fe.get("block_k"),
+                    pad128=fe.get("pad128", True)),
+                (a,), carrier=0, iters=max(4, iters // 2), reps=reps,
+            )]
+        else:
+            cands_f = [time_kernel(
+                prune_compress_24, (a,), carrier=0,
+                iters=max(4, iters // 2), reps=reps,
+            )]
+            if dtype == jnp.bfloat16:
+                cands_f.append(time_kernel(
+                    lambda x: prune_compress_24(x, rank_mxu=True), (a,),
+                    carrier=0, iters=max(4, iters // 2), reps=reps,
+                ))
         t = min((x for x in cands_f if x.ms > 0),
                 key=lambda x: x.ms, default=cands_f[0])
         out["fused_ms"] = t.ms
@@ -199,13 +273,12 @@ def bench_shape(
             cp = jax.jit(pack_codes_fp)(s.codes)
             kp = 4 * s.values0.shape[0]
             bp24 = jnp.pad(bm, ((0, kp - k), (0, 0)))
-            cands24 = [time_kernel(
+            cands24 = [(
                 lambda v0, v1, c2, y: spmm24_pallas_fp(
                     v0, v1, c2, y, k_logical=k, out_dtype=dtype,
                     transpose_out=e24.get("transpose_out", False),
                     packed_codes=True),
-                (s.values0, s.values1, cp, bp24), carrier=3,
-                iters=iters, reps=reps,
+                (s.values0, s.values1, cp, bp24), 3,
             )]
         else:
             if e24:
@@ -214,6 +287,8 @@ def bench_shape(
                     block_k4=e24.get("block_k4"),
                     transpose_out=e24.get("transpose_out", False),
                     pipeline=e24.get("pipeline", False),
+                    row_chunks=e24.get("row_chunks", 1),
+                    budget_mb=e24.get("budget_mb"),
                 )]
             else:
                 # Untuned-shape fallback: the pipelined formulation in
@@ -224,91 +299,116 @@ def bench_shape(
                     for tr in (False, True)
                 ]
             cands24 = [
-                time_kernel(
-                    lambda ss, y, _kw=kw: spmm_24(ss, y, out_dtype=dtype,
-                                                  **_kw),
-                    (s, bm), carrier=1, iters=iters, reps=reps,
-                )
+                (lambda ss, y, _kw=kw: spmm_24(ss, y, out_dtype=dtype,
+                                               **_kw),
+                 (s, bm), 1)
                 for kw in variants
             ]
-        t = min((x for x in cands24 if x.ms > 0),
-                key=lambda x: x.ms, default=cands24[0])
-        out["spmm24_ms"] = t.ms
-        if t.ms > 0:
-            out["spmm24_tflops"] = flops / (t.ms * 1e9)
-            out["nnz_per_s"] = (b * m * (k // 2)) / (t.ms * 1e-3)
+        if len(cands24) > 1:
+            raced = [
+                (time_kernel(fn, ops_, carrier=car, iters=iters,
+                             reps=reps).ms, i)
+                for i, (fn, ops_, car) in enumerate(cands24)
+            ]
+            win = min((x for x in raced if x[0] > 0),
+                      default=raced[0])[1]
+        else:
+            win = 0
+        fn24, ops24, car24 = cands24[win]
+        ms24, gp24, sp24, spread24 = _paired(fn24, ops24, car24)
+        out["spmm24_ms"] = ms24
+        out["gemm24_pair_ms"] = gp24
+        out["pair_spread24"] = spread24
+        if sp24 == sp24:
+            out["spmm24_speedup"] = sp24
+        if ms24 > 0:
+            out["spmm24_tflops"] = flops / (ms24 * 1e9)
+            out["nnz_per_s"] = (b * m * (k // 2)) / (ms24 * 1e-3)
 
     if "ell" in kernels:
         _mark("ell")
         # Rectangular blocks: rows stay MXU-wide (128) while the k-edge
-        # shrinks (to 32 on small-k layers), so even k=64 layers carry
-        # true 50% block sparsity instead of being padded dense (a
-        # square-128 block needs k >= 256 before sparsity is
-        # expressible). Large-k layers take wider edges: fewer, fatter
-        # gather slabs per block-row amortize the VMEM slice cost.
-        # Geometry/formulation come from the tuning table when present.
+        # shrinks (to 32 on small-k layers) so even k=64 layers carry
+        # true 50% block sparsity, or WIDENS (256/512 on large-k layers)
+        # so each block-row runs few, deep MXU dots instead of many
+        # shallow gathers. Geometry/formulation/layout come from the
+        # tuning table when present (fold_first: see
+        # `build_ell_operand` — removes per-sample m-padding).
         te = tuned.get("ell", {})
         bs = te.get("block_size", 128)
         bkb = te.get("block_k") or (
             32 if k < 512 else (64 if k < 1536 else 128))
-        kp = _round_up(k, 2 * bkb)
-        mp = _round_up(m, bs)
-        ell_blocks = max(1, (kp // bkb) // 2)  # 50% block sparsity
-        ap = jnp.pad(a, ((0, 0), (0, mp - m), (0, kp - k)))
-        bp = jnp.pad(bm, ((0, kp - k), (0, 0)))
-        e = jax.jit(
-            lambda x: ell_from_dense(x, block_size=bs,
-                                     ell_blocks=ell_blocks, block_k=bkb)
-        )(ap)
-
         if te:
-            gather_touts = ((te["transpose_out"],)
-                            if te.get("formulation") == "gather" else ())
-            expand_touts = ((te["transpose_out"],)
-                            if te.get("formulation") == "expand" else ())
+            ff = bool(te.get("fold_first", False))
         else:
-            gather_touts = (False, True)
-            expand_touts = (False, True) if k < 512 else ()
-        acc = bool(te.get("accum_dots", False))
-        cands = [
-            time_kernel(
-                lambda ee, y, _tr=tr: spmm_ell(ee, y, out_dtype=dtype,
-                                               transpose_out=_tr,
-                                               accum_dots=acc),
-                (e, bp), carrier=1, iters=iters, reps=reps,
-            )
-            for tr in gather_touts
-        ]
-        if expand_touts:
-            # Small-k: the expand-in-VMEM formulation (dense FLOPs,
-            # half the A bytes) usually beats the gather kernel, whose
-            # per-block-row dots are too shallow to feed the MXU. The
-            # k-major relayout happens at format-build time (outside
-            # the timed loop), like the reference's untimed ell_t
-            # construction (`spmm.cu:42-113`).
-            from ..ops.ell import ell_values_kmajor
-            from ..ops.kernels.ell_kernel import ell_expand_spmm_pallas
+            ff = (m % 128 != 0 and (m * b) % 128 == 0)
+        e, kp = build_ell_operand(a, block_size=bs, block_k=bkb,
+                                  fold_first=ff)
+        bp = jnp.pad(bm, ((0, kp - k), (0, 0)))
 
-            vkm = jax.jit(ell_values_kmajor)(e)
-            cols = e.col_indices.reshape(-1, e.col_indices.shape[-1])
-            for tr in expand_touts:
-                cands.append(time_kernel(
+        acc = bool(te.get("accum_dots", False))
+        if te:
+            forms = [(te.get("formulation", "gather"),
+                      te.get("transpose_out", False), acc)]
+        else:
+            forms = [("gather", tr, False) for tr in (False, True)]
+            if k < 512:
+                # Small-k: the expand-in-VMEM formulation (dense FLOPs,
+                # half the A bytes) usually beats the gather kernel,
+                # whose per-block-row dots are too shallow to feed the
+                # MXU.
+                forms += [("expand", tr, False) for tr in (False, True)]
+        cands = []
+        for form, tr, acc_ in forms:
+            if form == "gather":
+                cands.append((
+                    lambda ee, y, _tr=tr, _a=acc_: spmm_ell(
+                        ee, y, out_dtype=dtype, transpose_out=_tr,
+                        accum_dots=_a),
+                    (e, bp), 1,
+                ))
+            else:
+                # The k-major relayout happens at format-build time
+                # (outside the timed loop), like the reference's untimed
+                # ell_t construction (`spmm.cu:42-113`).
+                from ..ops.ell import ell_values_kmajor
+                from ..ops.kernels.ell_kernel import ell_expand_spmm_pallas
+
+                vkm = jax.jit(ell_values_kmajor)(e)
+                cols = e.col_indices.reshape(
+                    -1, e.col_indices.shape[-1])
+                cands.append((
                     lambda v, y, c, _tr=tr: ell_expand_spmm_pallas(
                         v, c, y, block_size=bs, block_k=bkb,
-                        out_dtype=dtype, transpose_out=_tr,
-                    ),
-                    (vkm, bp, cols), carrier=1, iters=iters, reps=reps,
+                        out_dtype=dtype, transpose_out=_tr),
+                    (vkm, bp, cols), 1,
                 ))
-        t = min((x for x in cands if x.ms > 0),
-                key=lambda x: x.ms, default=cands[0])
-        out["ell_ms"] = t.ms
-        if t.ms > 0:
-            out["ell_tflops"] = flops / (t.ms * 1e9)
+        if len(cands) > 1:
+            raced = [
+                (time_kernel(fn, ops_, carrier=car, iters=iters,
+                             reps=reps).ms, i)
+                for i, (fn, ops_, car) in enumerate(cands)
+            ]
+            win = min((x for x in raced if x[0] > 0),
+                      default=raced[0])[1]
+        else:
+            win = 0
+        fne, opse, care = cands[win]
+        mse, gpe, spe, spreade = _paired(fne, opse, care)
+        out["ell_ms"] = mse
+        out["gemmell_pair_ms"] = gpe
+        out["pair_spreadell"] = spreade
+        if spe == spe:
+            out["ell_speedup"] = spe
+        if mse > 0:
+            out["ell_tflops"] = flops / (mse * 1e9)
 
+    # Unpaired fallback (no dense baseline requested in this run, or
+    # pairing skipped): classic independent-measurement ratios.
     if out.get("gemm_ms", 0) > 0:
-        if out.get("spmm24_ms", 0) > 0:
+        if out.get("spmm24_ms", 0) > 0 and "spmm24_speedup" not in out:
             out["spmm24_speedup"] = out["gemm_ms"] / out["spmm24_ms"]
-        if out.get("ell_ms", 0) > 0:
+        if out.get("ell_ms", 0) > 0 and "ell_speedup" not in out:
             out["ell_speedup"] = out["gemm_ms"] / out["ell_ms"]
 
     # Per-shape speed-of-light model (analytic, no device time): the
@@ -316,7 +416,8 @@ def bench_shape(
     # full FLOPs, 1.25 B/elem A traffic (see bench.roofline). The
     # fraction-of-SoL column is what BASELINE's 1.5x target is judged
     # against on compute-bound layers, where SoL itself is ~1.0x.
-    from .roofline import dense_sol_ms, fused_sol_ms, spmm24_sol_ms
+    from .roofline import (dense_sol_ms, ell_sol_ms, fused_sol_ms,
+                           spmm24_sol_ms)
 
     out["fused_sol_ms"] = fused_sol_ms(m, k, b)
     if out.get("fused_ms", 0) > 0:
@@ -327,6 +428,9 @@ def bench_shape(
     out["sol_speedup"] = dense_sol_ms(m, n, k, b) / out["sol24_ms"]
     if out.get("spmm24_ms", 0) > 0:
         out["spmm24_frac_sol"] = out["sol24_ms"] / out["spmm24_ms"]
+    out["ell_sol_ms"] = ell_sol_ms(m, n, k, b)
+    if out.get("ell_ms", 0) > 0:
+        out["ell_frac_sol"] = out["ell_sol_ms"] / out["ell_ms"]
     return out
 
 
@@ -377,15 +481,24 @@ def write_csv(path: str, results: Sequence[ShapeResult]) -> None:
 
 
 def write_compare_csv(path: str, results: Sequence[ShapeResult]) -> None:
-    """The reference's exact compare.csv schema
-    (layer,m,n,k,b,gemm,prune,spmm — `examples/compare.csv:1`)."""
+    """The reference's compare.csv schema (layer,m,n,k,b,gemm,prune,spmm
+    — `examples/compare.csv:1`), plus a trailing spmm24 column.
+
+    The reference's ``spmm`` column is its *blocked-ELL* kernel — its
+    winning sparse path (`examples/profiling.py:36-41`, `spmm.hxx:31`) —
+    so the format-for-format analog here is the blocked-ELL time, NOT
+    the 2:4 kernel (which has no column in the reference schema and gets
+    its own at the end). Round 3 wrote spmm24 into ``spmm``, silently
+    comparing our losing sparse path against the reference's winning one
+    (VERDICT r3 item 4)."""
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["layer", "m", "n", "k", "b", "gemm", "prune", "spmm"])
+        w.writerow(["layer", "m", "n", "k", "b", "gemm", "prune", "spmm",
+                    "spmm24"])
         for r in results:
             w.writerow(
                 [r.layer, r.m, r.n, r.k, r.b, r.gemm_ms, r.prune_ms,
-                 r.spmm24_ms]
+                 r.ell_ms, r.spmm24_ms]
             )
 
 
@@ -426,8 +539,17 @@ def summarize(results: Sequence[ShapeResult]) -> Dict[str, float]:
             [r.sol_speedup for r in results]),
         "spmm24_frac_sol_geomean": geomean(
             [r.spmm24_frac_sol for r in results]),
+        "ell_frac_sol_geomean": geomean(
+            [r.ell_frac_sol for r in results]),
         "fused_frac_sol_geomean": geomean(
             [r.fused_frac_sol for r in results]),
+        # Paired-protocol self-diagnosis: worst per-shape ratio spread
+        # (max/min over the adjacent dense/sparse rep pairs); > ~1.2
+        # means the chip clock state moved between reps on some shape.
+        "pair_spread_max": max(
+            [x for r in results
+             for x in (r.pair_spread24, r.pair_spreadell)
+             if x == x] or [float("nan")]),
     }
 
 

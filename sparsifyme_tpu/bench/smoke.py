@@ -169,6 +169,91 @@ def check_ell(b, m, k, n, tol=2e-2):
                got.reshape(want.shape), want, tol)
 
 
+def check_r4_variants(tol=2e-2):
+    """Round-4 formulations: wide-block_k / fold-first ELL, spmm24
+    row-chunk interleave + budget override + probe halves, fused
+    pad128/block_rows knobs."""
+    from ..bench.harness import build_ell_operand
+    from ..ops.ell import spmm_ell, spmm_ell_reference
+    from ..ops.prune import prune_nm
+    from ..ops.sparse24 import (compress_24, prune_compress_24, spmm_24,
+                                spmm_24_reference)
+
+    key = jax.random.PRNGKey(7)
+    # ELL: m*b divisible by 128 -> fold_first packs without padding.
+    a = jax.random.normal(key, (4, 196, 2048), jnp.bfloat16)
+    for bkb in (256, 512):
+        e, kp = build_ell_operand(a, block_size=128, block_k=bkb,
+                                  fold_first=True)
+        bm = jax.random.normal(key, (kp, 512), jnp.bfloat16)
+        want = spmm_ell_reference(e, bm, out_dtype=jnp.float32)
+        for acc in (False, True):
+            for tout in (False, True):
+                got = np.asarray(spmm_ell(
+                    e, bm, out_dtype=jnp.float32, transpose_out=tout,
+                    accum_dots=acc))
+                if tout:
+                    got = got.T
+                _close(f"[ell r4] bkb={bkb} ff acc={int(acc)} "
+                       f"tout={int(tout)}", got.reshape(want.shape),
+                       want, tol)
+    # ELL wide-bkb single-slot (n_ell == 1, no concat at all).
+    a2 = jax.random.normal(key, (4, 196, 512), jnp.bfloat16)
+    e, kp = build_ell_operand(a2, block_size=128, block_k=256,
+                              fold_first=True)
+    bm = jax.random.normal(key, (kp, 2048), jnp.bfloat16)
+    want = spmm_ell_reference(e, bm, out_dtype=jnp.float32)
+    got = spmm_ell(e, bm, out_dtype=jnp.float32)
+    _close("[ell r4] bkb=256 n_ell=1", np.asarray(got).reshape(
+        want.shape), want, tol)
+
+    # spmm24: row-chunk interleave, budget override, probe halves.
+    a3 = jax.random.normal(key, (2, 256, 1024), jnp.bfloat16)
+    b3 = jax.random.normal(key, (1024, 256), jnp.bfloat16)
+    s = jax.jit(lambda x: compress_24(prune_nm(x, 2, 4)[0]))(a3)
+    want = spmm_24_reference(s, b3, out_dtype=jnp.float32)
+    for rc in (2, 4):
+        for tout in (False, True):
+            got = np.asarray(spmm_24(
+                s, b3, out_dtype=jnp.float32, pipeline=True,
+                block_m=512, row_chunks=rc, transpose_out=tout))
+            got = (got.T if tout else got).reshape(want.shape)
+            _close(f"[24 r4] row_chunks={rc} tout={int(tout)}", got,
+                   want, tol)
+    got = np.asarray(spmm_24(s, b3, out_dtype=jnp.float32,
+                             pipeline=True, budget_mb=24))
+    _close("[24 r4] budget_mb=24", got.reshape(want.shape), want, tol)
+    # probe halves just need to compile + run (outputs are not C).
+    from ..ops.kernels.spmm24_kernel import spmm24_pallas_fp
+
+    kp4 = 4 * s.values0.shape[0]
+    bp = jnp.pad(b3, ((0, kp4 - 1024), (0, 0)))
+    for probe in ("expand_only", "dot_only"):
+        # Probe halves leave the output/scratch partially unwritten by
+        # design (timing-only paths): check compile+run, not numerics.
+        o = spmm24_pallas_fp(s.values0, s.values1, s.codes, bp,
+                             k_logical=1024, probe=probe)
+        _report(f"[24 r4] probe={probe} compiles+runs",
+                np.asarray(o).shape == (512, 256))
+
+    # fused: in-kernel lane pad with/without 128-rounding, block_rows.
+    a4 = jax.random.normal(key, (2, 196, 147), jnp.bfloat16)
+    pruned = jax.jit(lambda x: prune_nm(x, 2, 4)[0])(a4)
+    sref = jax.jit(compress_24)(pruned)
+    for p128 in (True, False):
+        s4 = jax.jit(lambda x, _p=p128: prune_compress_24(
+            x, pad128=_p))(a4)
+        _equal(f"[fused r4] k=147 pad128={int(p128)}",
+               (s4.values0, s4.values1, s4.codes.astype(jnp.int32)),
+               (sref.values0, sref.values1,
+                sref.codes.astype(jnp.int32)))
+    s4 = jax.jit(lambda x: prune_compress_24(
+        x, block_rows=512))(a4)
+    _equal("[fused r4] block_rows=512",
+           (s4.values0, s4.values1, s4.codes.astype(jnp.int32)),
+           (sref.values0, sref.values1, sref.codes.astype(jnp.int32)))
+
+
 def check_coo(m, k, n, batch, sparsity=0.7, tol=2e-2):
     from ..ops.coo import (coo_from_dense, pack_coo, spmm_coo,
                            spmm_coo_segmented)
@@ -269,6 +354,7 @@ def main() -> int:
     guard(check_prune_variants, 2, 196, 147)
     guard(check_ell, 2, 196, 147, 64)
     guard(check_ell, 4, 784, 1024, 256)
+    guard(check_r4_variants)
     guard(check_coo, 784, 512, 64, 4)
     print(f"\n{'PASS' if not FAILURES else 'FAIL'}: "
           f"{len(FAILURES)} failures in {time.time() - t0:.0f}s",

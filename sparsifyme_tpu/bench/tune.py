@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.resnet_shapes import resnet_conv_shapes
-from ..ops.ell import ell_from_dense, ell_values_kmajor, spmm_ell
+from ..ops.ell import ell_values_kmajor, spmm_ell
 from ..ops.gemm import batched_gemm
 from ..ops.kernels.ell_kernel import ell_expand_spmm_pallas
 from ..ops.prune import prune_nm
@@ -85,6 +85,19 @@ def spmm24_candidates(m: int, n: int, k: int,
                           transpose_out=False, pipeline=True))
         cands.append(dict(block_m=512, block_n=None, block_k4=None,
                           transpose_out=True, pipeline=False))
+        # Round-4 frac-SoL hypotheses (NEXT.md item 2): fine-grained
+        # MXU/VPU chunk interleave within a step, and a raised VMEM
+        # budget for fatter auto-picked tiles.
+        for tr in (False, True):
+            cands.append(dict(block_m=None, block_n=None, block_k4=None,
+                              transpose_out=tr, pipeline=True,
+                              row_chunks=4))
+            cands.append(dict(block_m=None, block_n=None, block_k4=None,
+                              transpose_out=tr, pipeline=True,
+                              budget_mb=24))
+        cands.append(dict(block_m=2048, block_n=None, block_k4=None,
+                          transpose_out=True, pipeline=True,
+                          row_chunks=8))
     return tuple(cands)
 
 
@@ -144,63 +157,108 @@ def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
             best["ms"] = round(best_ms, 5)
             entry["spmm24"] = best
 
+    if "fused" in ops:
+        # Fused prune+compress tiling/formulation (round-4: the odd-k /
+        # small-shape fused times sat 3-4x over the HBM floor with the
+        # default tiling — VERDICT r3 item 5).
+        from ..ops.sparse24 import prune_compress_24
+
+        kp64 = _round_up(k, 64)
+        rows = b * m
+        cands = []
+        for rm in ((False, True) if dtype == jnp.bfloat16 else (False,)):
+            base = dict(rank_mxu=rm)
+            cands.append(base)
+            if kp64 % 128:
+                cands.append(dict(base, pad128=False))
+            if rows * k <= (1 << 23):
+                # Small problems: per-grid-step fixed cost dominates —
+                # try one grid step over all rows.
+                cands.append(dict(base,
+                                  block_rows=_round_up(rows, 128)))
+        best, best_ms = None, float("inf")
+        for cand in cands:
+            ms = _time(
+                lambda x, _c=cand: prune_compress_24(x, **_c),
+                (a,), 0, iters, reps)
+            print(f"    fused {cand}: {ms:.3f} ms", flush=True)
+            if ms < best_ms:
+                best, best_ms = dict(cand), ms
+        if best is not None:
+            best["ms"] = round(best_ms, 5)
+            entry["fused"] = best
+
     if "ell" in ops:
+        from .harness import build_ell_operand
+
         bs = 128
         heur = 32 if k < 512 else (64 if k < 1536 else 128)
         # Heuristic k-edge plus ONE alternative (compile budget: each
         # extra bkb is 2-4 fresh remote compiles per shape; full=True
-        # restores the wider offline grid).
+        # restores the wider offline grid). Round 4 adds WIDE edges
+        # (256/512 where at least half of k stays prunable): per
+        # block-row they run a few deep MXU dots instead of many
+        # shallow 32-128-deep gathers — the diagnosed m=196/large-k
+        # starvation fix.
         if full:
             alt = ({64} if k < 512 and k >= 128 else
                    ({32, 128} if k < 1536 else {64}))
         else:
             alt = ({64} if k < 512 and k >= 128 else
                    ({128} if k < 1536 else {64}))
-        bkbs = sorted({heur} | alt)
+        wide = {x for x in (256, 512) if 2 * x <= k}
+        bkbs = sorted({heur} | alt | wide)
         bkbs = [x for x in bkbs if 2 * x <= _round_up(k, 2 * x)]
+        # fold_first (see harness.build_ell_operand): strictly less
+        # padded work wherever per-sample m is not a 128-multiple but
+        # the folded batch is; the per-sample layout stays as the A/B
+        # reference under --full.
+        can_fold = m % 128 != 0 and (m * b) % 128 == 0
+        ffs = ((False, True) if (full and can_fold) else
+               ((True,) if can_fold else (False,)))
         best, best_ms = None, float("inf")
         for bkb in bkbs:
-            kp = _round_up(k, 2 * bkb)
-            mp = _round_up(m, bs)
-            ell_blocks = max(1, (kp // bkb) // 2)
-            ap = jnp.pad(a, ((0, 0), (0, mp - m), (0, kp - k)))
-            bp = jnp.pad(bm_, ((0, kp - k), (0, 0)))
-            e = jax.jit(lambda x, _eb=ell_blocks, _bk=bkb: ell_from_dense(
-                x, block_size=bs, ell_blocks=_eb, block_k=_bk))(ap)
-            # accum_dots (copy-free per-slab dots) only pays at wide
-            # block edges where depth-bkb dots keep the MXU busy.
-            accs = (False, True) if bkb >= 64 else (False,)
-            for acc in accs:
-                for tr in (False, True):
-                    ms = _time(
-                        lambda ee, y, _tr=tr, _a=acc: spmm_ell(
-                            ee, y, out_dtype=dtype, transpose_out=_tr,
-                            accum_dots=_a),
-                        (e, bp), 1, iters, reps)
-                    print(f"    ell gather bkb={bkb} tout={tr} "
-                          f"acc={int(acc)}: {ms:.3f} ms", flush=True)
-                    if ms < best_ms:
-                        best = dict(formulation="gather",
-                                    transpose_out=tr, block_size=bs,
-                                    block_k=bkb, accum_dots=acc)
-                        best_ms = ms
-            if k <= 1024 and (full or bkb == heur):
-                vkm = jax.jit(ell_values_kmajor)(e)
-                cols = e.col_indices.reshape(-1, e.col_indices.shape[-1])
-                for tr in (False, True):
-                    ms = _time(
-                        lambda v, y, c, _tr=tr, _bk=bkb:
-                        ell_expand_spmm_pallas(
-                            v, c, y, block_size=bs, block_k=_bk,
-                            out_dtype=dtype, transpose_out=_tr),
-                        (vkm, bp, cols), 1, iters, reps)
-                    print(f"    ell expand bkb={bkb} tout={tr}: "
-                          f"{ms:.3f} ms", flush=True)
-                    if ms < best_ms:
-                        best = dict(formulation="expand",
-                                    transpose_out=tr, block_size=bs,
-                                    block_k=bkb)
-                        best_ms = ms
+            for ff in ffs:
+                e, kp = build_ell_operand(a, block_size=bs, block_k=bkb,
+                                          fold_first=ff)
+                bp = jnp.pad(bm_, ((0, kp - k), (0, 0)))
+                # accum_dots (copy-free per-slab dots) only pays at wide
+                # block edges where depth-bkb dots keep the MXU busy.
+                accs = (False, True) if bkb >= 64 else (False,)
+                for acc in accs:
+                    for tr in (False, True):
+                        ms = _time(
+                            lambda ee, y, _tr=tr, _a=acc: spmm_ell(
+                                ee, y, out_dtype=dtype, transpose_out=_tr,
+                                accum_dots=_a),
+                            (e, bp), 1, iters, reps)
+                        print(f"    ell gather bkb={bkb} ff={int(ff)} "
+                              f"tout={tr} acc={int(acc)}: {ms:.3f} ms",
+                              flush=True)
+                        if ms < best_ms:
+                            best = dict(formulation="gather",
+                                        transpose_out=tr, block_size=bs,
+                                        block_k=bkb, accum_dots=acc,
+                                        fold_first=ff)
+                            best_ms = ms
+                if k <= 1024 and (full or bkb == heur):
+                    vkm = jax.jit(ell_values_kmajor)(e)
+                    cols = e.col_indices.reshape(
+                        -1, e.col_indices.shape[-1])
+                    for tr in (False, True):
+                        ms = _time(
+                            lambda v, y, c, _tr=tr, _bk=bkb:
+                            ell_expand_spmm_pallas(
+                                v, c, y, block_size=bs, block_k=_bk,
+                                out_dtype=dtype, transpose_out=_tr),
+                            (vkm, bp, cols), 1, iters, reps)
+                        print(f"    ell expand bkb={bkb} ff={int(ff)} "
+                              f"tout={tr}: {ms:.3f} ms", flush=True)
+                        if ms < best_ms:
+                            best = dict(formulation="expand",
+                                        transpose_out=tr, block_size=bs,
+                                        block_k=bkb, fold_first=ff)
+                            best_ms = ms
         if best is not None:
             best["ms"] = round(best_ms, 5)
             entry["ell"] = best
@@ -211,7 +269,7 @@ def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="resnet50")
-    p.add_argument("--ops", default="gemm,spmm24,ell")
+    p.add_argument("--ops", default="gemm,spmm24,ell,fused")
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--reps", type=int, default=2)
     p.add_argument("--table", default=TABLE_PATH)

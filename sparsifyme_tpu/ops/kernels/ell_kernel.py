@@ -40,6 +40,29 @@ from jax.experimental.pallas import tpu as pltpu
 from .spmm24_kernel import _cdiv, _round_up, default_interpret
 
 
+def _pick_mblk(mb: int, cap: int) -> int:
+    """Block-rows per grid step under ``cap``.
+
+    Minimize the padded total (``ceil(mb/mblk) * mblk`` — padded
+    block-rows run real dots on zero values), then prefer fewer, fatter
+    steps. The round-3 rule preferred the cap over a clean divisor
+    whenever the best divisor was < 3/4 of it, which padded up to 16%
+    of the rows (mb=56, cap=13 -> 65 padded block-rows vs mblk=8's 56);
+    on the m=196 layers that waste alone outweighed the per-step fixed
+    cost it saved. Cost model: ``padded + 2 * steps`` block-row
+    equivalents — a grid step's fixed cost (~0.7 us) is worth about two
+    128-row dot groups at typical tile sizes."""
+    cap = max(1, min(cap, mb))
+    best, best_cost = 1, None
+    for mblk in range(1, cap + 1):
+        steps = _cdiv(mb, mblk)
+        cost = steps * mblk + 2 * steps
+        if best_cost is None or cost < best_cost or (
+                cost == best_cost and mblk > best):
+            best, best_cost = mblk, cost
+    return best
+
+
 def _kernel(col_ref, val_ref, b_ref, out_ref, *, mblk: int, n_ell: int,
             bs: int, bkb: int, mb: int, tout: bool, accum: bool):
     ib = pl.program_id(1)
@@ -172,24 +195,14 @@ def ell_spmm_pallas(
     per_row = 2 * bs * ellk * vbytes + 2 * bs * out_cols * obytes
     mblk_cap = max(1, vmem_free // max(1, per_row))
     mblk_cap = min(mblk_cap, max(1, 256 // max(1, n_ell)), mb)
-    mblk = 1
-    for d in range(mblk_cap, 0, -1):
-        if mb % d == 0:
-            mblk = d
-            break
-    # A divisor constraint can strand the cap (e.g. prime mb): pad the
-    # block-row axis with zero rows instead (col index 0, values 0 —
-    # contributes nothing) whenever that recovers >=25% of the cap.
-    if mblk < (3 * mblk_cap) // 4:
-        mblk = mblk_cap
-        mbp = _cdiv(mb, mblk) * mblk
-        if mbp != mb:
-            values = jnp.pad(values, ((0, (mbp - mb) * bs), (0, 0)))
-            col_indices = jnp.pad(
-                col_indices, ((0, mbp - mb), (0, 0))
-            )
-            mb = mbp
-            m = mb * bs
+    mblk = _pick_mblk(mb, mblk_cap)
+    mbp = _cdiv(mb, mblk) * mblk
+    if mbp != mb:
+        # Padded block-rows: col index 0, values 0 — contribute nothing.
+        values = jnp.pad(values, ((0, (mbp - mb) * bs), (0, 0)))
+        col_indices = jnp.pad(col_indices, ((0, mbp - mb), (0, 0)))
+        mb = mbp
+        m = mb * bs
 
     # Outermost n-tile axis: the resident B slab is re-DMA'd only when
     # the n-tile changes; values/out cycle beneath it.
@@ -354,19 +367,13 @@ def ell_expand_spmm_pallas(
                + bs * kp * vbytes)  # values + out tiles + af scratch
     mblk_cap = max(1, vmem_free // max(1, per_row))
     mblk_cap = min(mblk_cap, max(1, 64 // max(1, n_ell)), mb)
-    mblk = 1
-    for d in range(mblk_cap, 0, -1):
-        if mb % d == 0:
-            mblk = d
-            break
-    if mblk < (3 * mblk_cap) // 4:
-        mblk = mblk_cap
-        mbp = _cdiv(mb, mblk) * mblk
-        if mbp != mb:
-            values_km = jnp.pad(values_km, ((0, 0), (0, (mbp - mb) * bs)))
-            col_indices = jnp.pad(col_indices, ((0, mbp - mb), (0, 0)))
-            mb = mbp
-            m = mb * bs
+    mblk = _pick_mblk(mb, mblk_cap)
+    mbp = _cdiv(mb, mblk) * mblk
+    if mbp != mb:
+        values_km = jnp.pad(values_km, ((0, 0), (0, (mbp - mb) * bs)))
+        col_indices = jnp.pad(col_indices, ((0, mbp - mb), (0, 0)))
+        mb = mbp
+        m = mb * bs
 
     grid = (np_ // bn, mb // mblk)
     if transpose_out:

@@ -434,10 +434,25 @@ def _rank_masks_mxu(x, pos, mm_dtype):
     return m0, m1
 
 
+def _lane_pad(x, bk: int):
+    """Pad a tile's lane axis to ``bk`` inside VMEM (VREG zeros).
+
+    Odd-k shapes used to pad the DENSE input in HBM before the kernel
+    (`jnp.pad` of the whole [rows, k] array = one extra full read+write
+    pass — measured at ~the HBM floor itself on k=147, the single
+    largest term in its 4x-over-floor). Taking the unpadded full-width
+    tile and padding lanes here costs only VREG writes; padded groups
+    rank to zero values / code 1 and their plane rows are sliced off by
+    the caller."""
+    if x.shape[1] < bk:
+        x = jnp.pad(x, ((0, 0), (0, bk - x.shape[1])))
+    return x
+
+
 def _fused_kernel_v3(x_ref, v0_ref, v1_ref, codes_ref, *, bk: int):
     """Fused prune+compress with MXU-assisted ranking (see
     `_rank_masks_mxu`); same tile contract as `_fused_kernel_v2`."""
-    x_full = x_ref[...]
+    x_full = _lane_pad(x_ref[...], bk)
     mm_dtype = x_full.dtype if x_full.dtype == jnp.bfloat16 \
         else jnp.float32
 
@@ -491,7 +506,7 @@ def _fused_kernel_v2(x_ref, v0_ref, v1_ref, codes_ref, *, bk: int,
         sums to ``4*i0 + i1`` per group (both terms are small ints,
         exact in bf16).
     """
-    x_full = x_ref[...]
+    x_full = _lane_pad(x_ref[...], bk)
     mm_dtype = x_full.dtype if x_full.dtype == jnp.bfloat16 \
         else jnp.float32
 
@@ -539,7 +554,7 @@ def _fused_kernel_v2(x_ref, v0_ref, v1_ref, codes_ref, *, bk: int,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "kmajor",
                                               "block_rows", "block_k",
-                                              "rank_mxu"))
+                                              "rank_mxu", "pad128"))
 def prune_compress_24_pallas(
     w: jax.Array,
     interpret: Optional[bool] = None,
@@ -547,6 +562,7 @@ def prune_compress_24_pallas(
     block_rows: Optional[int] = None,
     block_k: Optional[int] = None,
     rank_mxu: bool = False,
+    pad128: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused prune+compress: row-major dense ``w [..., m, k]`` ->
     k-major planes ``(v0, v1, codes) [k4, M]`` in ONE kernel pass.
@@ -584,7 +600,13 @@ def prune_compress_24_pallas(
         elif kp % 128 == 0:
             bk = next(d for d in (512, 384, 256, 128) if kp % d == 0)
         elif kp <= 1280:
-            bk = kp
+            # Full-width single k-tile, lanes padded IN-KERNEL (see
+            # `_lane_pad` — no HBM pad pass). ``pad128`` rounds the
+            # tile up to a 128-lane multiple so every internal
+            # 128-chunk is a full vreg set (the 64-wide tail chunk's
+            # lane rolls are sub-vreg); costs +rank work on dead lanes,
+            # hence tunable.
+            bk = _round_up(kp, 128) if pad128 else kp
         else:
             bk = 128
         if block_rows:
@@ -615,11 +637,19 @@ def prune_compress_24_pallas(
         bm = block_rows or (256 if bk <= 1024 else 128)
     kpp = _round_up(kp, bk)
     rp = _round_up(rows, bm)
-    if kpp != k or rp != rows:
+    # Single full-width k-tile: feed the UNPADDED lane width and let the
+    # kernel pad in VMEM — the caller-side jnp.pad of the dense input is
+    # a full extra HBM read+write pass (the dominant term on k=147).
+    lane_pad_in_kernel = kmajor and kpp == bk and bk >= k
+    if lane_pad_in_kernel:
+        if rp != rows:
+            w2 = jnp.pad(w2, ((0, rp - rows), (0, 0)))
+    elif kpp != k or rp != rows:
         w2 = jnp.pad(w2, ((0, rp - rows), (0, kpp - k)))
 
     grid = (rp // bm, kpp // bk)
-    in_spec = pl.BlockSpec((bm, bk), lambda i, j: (i, j),
+    in_spec = pl.BlockSpec((bm, k if lane_pad_in_kernel else bk),
+                           lambda i, j: (i, j),
                            memory_space=pltpu.VMEM)
     if kmajor:
         pspec = pl.BlockSpec((bk // 4, bm), lambda i, j: (j, i),

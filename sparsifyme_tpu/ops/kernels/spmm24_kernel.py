@@ -294,9 +294,10 @@ def _unpack_codes_tile(cp: jax.Array) -> jax.Array:
 
 
 def _kernel_fp(v0_ref, v1_ref, codes_ref, b_ref, *rest,
-               T: int, n_k: int, bk4: int, tout: bool,
+               T: int, n_k: int, bk4: int, bm: int, tout: bool,
                alpha: float = 1.0, beta: float = 0.0,
-               packed: bool = False):
+               packed: bool = False, row_chunks: int = 1,
+               probe: "Optional[str]" = None):
     """Software-pipelined body over the flattened (m-tile, k-tile) grid.
 
     Step t: MXU contracts the slab expanded at step t-1 while the VPU
@@ -306,6 +307,12 @@ def _kernel_fp(v0_ref, v1_ref, codes_ref, b_ref, *rest,
     static parity (`pl.when`) rather than a traced scratch index: a
     dynamic leading index forces Mosaic to copy the slab (measured 2x
     regression on big-k shapes).
+
+    ``row_chunks > 1`` additionally splits BOTH halves along the m axis
+    and alternates dot-chunk / expand-chunk in program order —
+    explicit fine-grained MXU/VPU instruction interleaving for shapes
+    where Mosaic does not overlap the two whole-slab halves (the
+    round-3 probe measured per-step wall ~= serial expand+dot).
     """
     if beta != 0.0:
         c_ref, out_ref, af0_ref, af1_ref, acc_ref = rest
@@ -314,60 +321,102 @@ def _kernel_fp(v0_ref, v1_ref, codes_ref, b_ref, *rest,
         out_ref, af0_ref, af1_ref, acc_ref = rest
     t = pl.program_id(0)
     parity = jax.lax.rem(t, 2)
+    do_dot = probe != "expand_only"
+    do_expand = probe != "dot_only"
 
-    def epilogue(part):
+    def oidx(cs):
+        # out/acc/C-block index for an m-axis chunk slice.
+        return (slice(None), cs) if tout else (cs, slice(None))
+
+    def epilogue(part, cs):
         # alpha/beta epilogue fused at the store (`C = alpha*AB + beta*C`,
         # reference contract `spmma.hxx:22-31`): one extra VMEM read of
         # the C block, no extra HBM pass.
         if alpha != 1.0:
             part = part * jnp.float32(alpha)
         if c_ref is not None:
-            part = part + jnp.float32(beta) * c_ref[...].astype(jnp.float32)
-        out_ref[...] = part.astype(out_ref.dtype)
+            part = part + jnp.float32(beta) * c_ref[oidx(cs)].astype(
+                jnp.float32)
+        out_ref[oidx(cs)] = part.astype(out_ref.dtype)
 
-    def dot_from(af_ref):
-        part = _dot_ct(af_ref[...], b_ref[...], tout)
+    def dot_from(af_ref, cs=slice(None)):
+        part = _dot_ct(af_ref[:, cs], b_ref[...], tout)
         if n_k == 1:
-            epilogue(part)
+            epilogue(part, cs)
         else:
             dk = jax.lax.rem(t - 1, n_k)
 
             @pl.when(dk == 0)
             def _init():
-                acc_ref[...] = part
+                acc_ref[oidx(cs)] = part
 
             @pl.when(dk > 0)
             def _acc():
-                acc_ref[...] = acc_ref[...] + part
+                acc_ref[oidx(cs)] = acc_ref[oidx(cs)] + part
 
             @pl.when(dk == n_k - 1)
             def _store():
-                epilogue(acc_ref[...])
+                epilogue(acc_ref[oidx(cs)], cs)
 
-    def expand_into(af_ref):
+    def expand_into(af_ref, cs=slice(None)):
         def write(q, val):
-            af_ref[q * bk4:(q + 1) * bk4, :] = val
+            af_ref[q * bk4:(q + 1) * bk4, cs] = val
 
-        codes = (_unpack_codes_tile(codes_ref[...]) if packed
-                 else codes_ref[...])
-        _expand_q_into(write, v0_ref[...], v1_ref[...], codes)
+        codes = (_unpack_codes_tile(codes_ref[:, cs]) if packed
+                 else codes_ref[:, cs])
+        _expand_q_into(write, v0_ref[:, cs], v1_ref[:, cs], codes)
+
+    if row_chunks > 1:
+        bmc = bm // row_chunks
+        chunks = [slice(j * bmc, (j + 1) * bmc)
+                  for j in range(row_chunks)]
+        # Interior steps: alternate MXU chunk-dot (previous slab) with
+        # VPU chunk-expand (current slab) — independent chains in
+        # program order.
+        for p, af_dot, af_exp in ((1, af0_ref, af1_ref),
+                                  (0, af1_ref, af0_ref)):
+            @pl.when((t > 0) & (t < T) & (parity == p))
+            def _mid(af_dot=af_dot, af_exp=af_exp):
+                for cs in chunks:
+                    if do_dot:
+                        dot_from(af_dot, cs)
+                    if do_expand:
+                        expand_into(af_exp, cs)
+
+        @pl.when(t == 0)
+        def _first():
+            if do_expand:
+                expand_into(af0_ref)
+
+        @pl.when(t == T)
+        def _last():
+            if do_dot:
+                dot_from(af1_ref if T % 2 == 0 else af0_ref)
+        return
 
     # dot first (issue the MXU op), then the independent expand.
+    # ``probe`` ("expand_only" / "dot_only") drops the other half for
+    # overlap-evidence timing (results/ artifacts): full ~= max(halves)
+    # means the units overlap; full ~= sum means they serialized.
     @pl.when((t > 0) & (parity == 1))
     def _dot0():
-        dot_from(af0_ref)
+        if do_dot:
+            dot_from(af0_ref)
 
     @pl.when((t > 0) & (parity == 0))
     def _dot1():
-        dot_from(af1_ref)
+        if do_dot:
+            dot_from(af1_ref)
 
     @pl.when((t < T) & (parity == 0))
     def _exp0():
-        expand_into(af0_ref)
+        if do_expand:
+            expand_into(af0_ref)
 
     @pl.when((t < T) & (parity == 1))
     def _exp1():
-        expand_into(af1_ref)
+        if do_expand:
+            expand_into(af1_ref)
 
 
 def _pick_tiles_fp(m, n, k4, tout, vmem_budget=12 * 1024 * 1024):
@@ -401,7 +450,8 @@ def _pick_tiles_fp(m, n, k4, tout, vmem_budget=12 * 1024 * 1024):
     jax.jit,
     static_argnames=("k_logical", "out_dtype", "block_m", "block_k4",
                      "interpret", "transpose_out", "alpha", "beta",
-                     "packed_codes"),
+                     "packed_codes", "row_chunks", "vmem_budget_mb",
+                     "probe"),
 )
 def spmm24_pallas_fp(
     v0: jax.Array,
@@ -419,6 +469,9 @@ def spmm24_pallas_fp(
     alpha: float = 1.0,
     beta: float = 0.0,
     packed_codes: bool = False,
+    row_chunks: int = 1,
+    vmem_budget_mb: Optional[int] = None,
+    probe: Optional[str] = None,
 ) -> jax.Array:
     """Pipelined ``C = decompress24(v0, v1, codes)[:, :k_logical] @ b``.
 
@@ -437,9 +490,15 @@ def spmm24_pallas_fp(
     if k_logical > 4 * k4:
         raise ValueError(f"k_logical {k_logical} > 4*k4 {4 * k4}")
 
-    abm, abk4, bnp = _pick_tiles_fp(m, n, k4, transpose_out)
+    abm, abk4, bnp = _pick_tiles_fp(
+        m, n, k4, transpose_out,
+        vmem_budget=(vmem_budget_mb or 12) * 1024 * 1024)
     bm = block_m or abm
     bk4 = block_k4 or abk4
+    if row_chunks > 1 and (bm % row_chunks or
+                           (bm // row_chunks) % 128):
+        raise ValueError(f"row_chunks {row_chunks} must split the "
+                         f"m-tile {bm} into 128-multiples")
 
     mp = _round_up(m, bm)
     np_ = _round_up(n, bnp)
@@ -539,9 +598,10 @@ def spmm24_pallas_fp(
 
     operands = (v0, v1, codes, b) + ((c,) if has_c else ())
     out = pl.pallas_call(
-        functools.partial(_kernel_fp, T=T, n_k=n_k, bk4=bk4,
+        functools.partial(_kernel_fp, T=T, n_k=n_k, bk4=bk4, bm=bm,
                           tout=transpose_out, alpha=alpha, beta=beta,
-                          packed=packed_codes),
+                          packed=packed_codes, row_chunks=row_chunks,
+                          probe=probe),
         grid=(T + 1,),
         in_specs=in_specs,
         out_specs=out_spec,

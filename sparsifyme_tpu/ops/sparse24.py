@@ -111,8 +111,12 @@ def compress_24(w: jax.Array) -> Sparse24:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("rank_mxu",))
-def prune_compress_24(w: jax.Array, rank_mxu: bool = False) -> Sparse24:
+@functools.partial(jax.jit, static_argnames=("rank_mxu", "block_rows",
+                                             "block_k", "pad128"))
+def prune_compress_24(w: jax.Array, rank_mxu: bool = False,
+                      block_rows: "Optional[int]" = None,
+                      block_k: "Optional[int]" = None,
+                      pad128: bool = True) -> Sparse24:
     """Fused prune+compress: dense ``w`` -> :class:`Sparse24` in one
     kernel pass (one HBM read of the dense weights, compact writes).
 
@@ -125,14 +129,18 @@ def prune_compress_24(w: jax.Array, rank_mxu: bool = False) -> Sparse24:
     the HBM traffic (no pruned-dense round trip, no full-size k-major
     pre-transpose). ``rank_mxu`` selects the MXU-assisted ranking
     formulation (bf16 only; see `prune_kernel._rank_masks_mxu`) — a
-    benchmark-raceable A/B, identical selection.
+    benchmark-raceable A/B, identical selection. ``block_rows`` /
+    ``block_k`` / ``pad128`` override the kernel tiling (per-shape
+    tuning-table knobs).
     """
     *lead, m, k = w.shape
     if jax.default_backend() == "tpu":
         from .kernels.prune_kernel import prune_compress_24_pallas
 
         w2 = w.reshape(-1, k)
-        v0, v1, codes = prune_compress_24_pallas(w2, rank_mxu=rank_mxu)
+        v0, v1, codes = prune_compress_24_pallas(
+            w2, rank_mxu=rank_mxu, block_rows=block_rows,
+            block_k=block_k, pad128=pad128)
         return Sparse24(values0=v0, values1=v1, codes=codes, shape=w.shape)
     # XLA path: compress_24 already selects top-2 per group from dense.
     return compress_24(w)
@@ -179,7 +187,7 @@ import collections
 _Cfg = collections.namedtuple(
     "_Cfg",
     "k_logical out_dtype block_m block_n block_k4 interpret transpose_out "
-    "pipeline packed",
+    "pipeline packed row_chunks budget_mb",
 )
 
 
@@ -209,6 +217,8 @@ def _spmm24_core(cfg: "_Cfg", v0, v1, codes, b):
             interpret=cfg.interpret,
             transpose_out=cfg.transpose_out,
             packed_codes=cfg.packed,
+            row_chunks=cfg.row_chunks,
+            vmem_budget_mb=cfg.budget_mb,
         )
     return spmm24_pallas(
         v0,
@@ -294,6 +304,8 @@ def spmm_24(
     transpose_out: bool = False,
     pipeline: bool = False,
     packed_codes: bool = False,
+    row_chunks: int = 1,
+    budget_mb: "Optional[int]" = None,
 ) -> jax.Array:
     """Structured-sparse matmul ``decompress(s) @ b`` on the MXU.
 
@@ -345,6 +357,8 @@ def spmm_24(
         transpose_out=transpose_out,
         pipeline=pipeline,
         packed=packed_codes,
+        row_chunks=row_chunks,
+        budget_mb=budget_mb,
     )
     out = _spmm24_core(cfg, s.values0, s.values1, s.codes, b)
     # alpha/beta epilogue around the differentiable core: XLA fuses the

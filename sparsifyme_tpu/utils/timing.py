@@ -106,6 +106,49 @@ def time_fn(
     )
 
 
+def _build_run(step: Callable[[Any], Any]) -> Callable:
+    # Dynamic trip count: ONE compiled executable serves both loop
+    # lengths (remote compiles are the dominant cost on relayed
+    # transports; a fori_loop with a traced bound lowers to while_loop,
+    # which XLA cannot unroll — fine, since the body is the unit under
+    # test either way).
+    @jax.jit
+    def run(state, n):
+        return jax.lax.fori_loop(
+            0, n, lambda i, s: step(s), state,
+        )
+
+    return run
+
+
+def _delta(run: Callable, state0: Any, iters: int) -> float:
+    """One N-vs-2N wall-clock difference in seconds (round trip cancels)."""
+    t0 = time.perf_counter()
+    sync(run(state0, jnp.int32(iters)))
+    t1 = time.perf_counter()
+    sync(run(state0, jnp.int32(2 * iters)))
+    t2 = time.perf_counter()
+    return (t2 - t1) - (t1 - t0)
+
+
+_MIN_DELTA_S = 8e-3
+# 16384-iter ceiling: even a ~0.5 us/iter kernel accumulates ~8 ms of
+# on-device work, clear of the relay jitter floor.
+_MAX_ITERS = 16384
+
+
+def _calibrate(run: Callable, state0: Any, iters: int) -> int:
+    """Warm up and double ``iters`` until the N-vs-2N delta stands well
+    above the relay round-trip jitter (several ms) — fast kernels would
+    otherwise measure as noise/zero. Doubling is free: the loop bound is
+    traced, so one executable serves every N."""
+    sync(run(state0, jnp.int32(iters)))  # compile + warmup
+    sync(run(state0, jnp.int32(2 * iters)))
+    while iters < _MAX_ITERS and _delta(run, state0, iters) < _MIN_DELTA_S:
+        iters *= 2
+    return iters
+
+
 def time_chained(
     step: Callable[[Any], Any],
     state0: Any,
@@ -127,46 +170,10 @@ def time_chained(
     docstring). Per-rep negatives (scheduling noise) are clamped to 0;
     the median over ``reps`` is returned.
     """
-
-    # Dynamic trip count: ONE compiled executable serves both loop
-    # lengths (remote compiles are the dominant cost on relayed
-    # transports; a fori_loop with a traced bound lowers to while_loop,
-    # which XLA cannot unroll — fine, since the body is the unit under
-    # test either way).
-    @jax.jit
-    def run(state, n):
-        return jax.lax.fori_loop(
-            0, n, lambda i, s: step(s), state,
-        )
-
-    sync(run(state0, jnp.int32(iters)))  # compile + warmup
-    sync(run(state0, jnp.int32(2 * iters)))
-
-    # Adaptive: the N vs 2N wall delta must stand well above the relay
-    # round-trip jitter (several ms), or fast kernels measure as noise /
-    # zero. Doubling the trip count is free — the bound is traced, so
-    # the same executable serves every N.
-    min_delta_s = 8e-3
-    while True:
-        n1 = jnp.int32(iters)
-        n2 = jnp.int32(2 * iters)
-        raw = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            sync(run(state0, n1))
-            t1 = time.perf_counter()
-            sync(run(state0, n2))
-            t2 = time.perf_counter()
-            raw.append((t2 - t1) - (t1 - t0))
-        raw.sort()
-        med = raw[len(raw) // 2]
-        # 16384-iter ceiling: even a ~0.5 us/iter kernel accumulates
-        # ~8 ms of on-device work, clear of the relay jitter floor.
-        if med >= min_delta_s or iters >= 16384:
-            break
-        iters *= 2
+    run = _build_run(step)
+    iters = _calibrate(run, state0, iters)
+    raw = sorted(_delta(run, state0, iters) for _ in range(reps))
     samples = [max(r, 0.0) * 1e3 / iters for r in raw]
-    samples.sort()
     return Timing(
         ms=samples[len(samples) // 2],
         ms_min=samples[0],
@@ -195,31 +202,37 @@ def chain(carrier: jax.Array, *deps: Any) -> jax.Array:
     return out[0]
 
 
-def time_kernel(
+class Prepared(NamedTuple):
+    """A kernel wrapped for chained timing: jitted ``run(state, n)``
+    loop, initial state, and the number of problem replicas cycled per
+    iteration (reported times are per single call)."""
+
+    run: Callable
+    state0: Any
+    replicas: int
+
+
+def prepare_kernel(
     fn: Callable[..., Any],
     operands: tuple,
     *,
     carrier: int = 0,
-    iters: int = 16,
-    reps: int = 3,
     replicas: Optional[int] = None,
-) -> Timing:
-    """Time ``fn(*operands)`` with the correct chained-loop structure.
+) -> Prepared:
+    """Build the chained-loop runner for ``fn(*operands)``.
 
-    Builds a :func:`time_chained` step whose state is ``(operands,
-    out)``: the output is a loop-body root (cannot be DCE'd, is
-    materialized every iteration, like real use), and operand number
-    ``carrier`` is barrier-coupled to the previous output (defeats
-    loop-invariant hoisting). Pick a small operand as the carrier; the
-    barrier itself moves no data.
+    The loop state is ``(operands, out)``: the output is a loop-body
+    root (cannot be DCE'd, is materialized every iteration, like real
+    use), and operand number ``carrier`` is barrier-coupled to the
+    previous output (defeats loop-invariant hoisting). Pick a small
+    operand as the carrier; the barrier itself moves no data.
 
     ``replicas``: number of independent problem copies cycled per
     iteration. Small working sets otherwise live entirely in VMEM
     across loop iterations (measured: a 102 MB/iter matmul at an
     implied 1.76 TB/s on 0.82 TB/s HBM), which flatters XLA ops vs
     custom-call kernels whose operands always stream from HBM. Sized
-    automatically so the cycled footprint exceeds VMEM; reported time
-    is per single kernel call.
+    automatically so the cycled footprint exceeds VMEM.
     """
     shapes = jax.eval_shape(fn, *operands)
     # Zero-filled output as the initial carried value: only its shape
@@ -250,10 +263,88 @@ def time_kernel(
             new_sets.append(tuple(ops))
         return (tuple(new_sets), tuple(new_outs))
 
-    t = time_chained(
-        step,
-        (tuple(reps_sets), tuple(mk_out() for _ in range(replicas))),
-        iters=iters, reps=reps,
+    state0 = (tuple(reps_sets), tuple(mk_out() for _ in range(replicas)))
+    return Prepared(run=_build_run(step), state0=state0, replicas=replicas)
+
+
+def time_kernel(
+    fn: Callable[..., Any],
+    operands: tuple,
+    *,
+    carrier: int = 0,
+    iters: int = 16,
+    reps: int = 3,
+    replicas: Optional[int] = None,
+) -> Timing:
+    """Time ``fn(*operands)`` with the correct chained-loop structure
+    (see :func:`prepare_kernel`); reported time is per single call."""
+    p = prepare_kernel(fn, operands, carrier=carrier, replicas=replicas)
+    iters = _calibrate(p.run, p.state0, iters)
+    raw = sorted(_delta(p.run, p.state0, iters) for _ in range(reps))
+    samples = [max(r, 0.0) * 1e3 / iters / p.replicas for r in raw]
+    return Timing(
+        ms=samples[len(samples) // 2],
+        ms_min=samples[0],
+        iters=iters,
+        reps=reps,
     )
-    return Timing(ms=t.ms / replicas, ms_min=t.ms_min / replicas,
-                  iters=t.iters, reps=t.reps)
+
+
+class PairTiming(NamedTuple):
+    a: Timing
+    b: Timing
+    ratio: float       # median over reps of per-pair (a.ms / b.ms)
+    ratio_spread: float  # max/min of the per-pair ratios (1.0 = stable)
+
+
+def time_kernel_pair(
+    fn_a: Callable[..., Any],
+    operands_a: tuple,
+    fn_b: Callable[..., Any],
+    operands_b: tuple,
+    *,
+    carrier_a: int = 0,
+    carrier_b: int = 0,
+    iters: int = 16,
+    reps: int = 3,
+) -> PairTiming:
+    """Paired A/B timing: the variance-proof speedup protocol.
+
+    Dense-baseline throughput on the bench chip swings up to 3x between
+    measurement episodes (same compiled executable, different chip clock
+    state), so a speedup computed from two *independently taken* times
+    inherits that swing (round-3: the same sweep's ELL geomean moved
+    1.15x <-> 1.57x run-to-run). Here both kernels are calibrated once
+    and then measured in **adjacent N/2N chained loops within the same
+    few milliseconds, alternating A and B per rep**; the reported
+    ``ratio`` is the median of the per-pair ratios, so any clock state
+    common to a pair cancels. ``ratio_spread`` (max/min over pairs)
+    is the self-diagnosis: > ~1.2 means the chip state moved *between*
+    reps and the median is the defense.
+
+    Returns per-call Timings for both kernels plus the paired ratio
+    ``a.ms / b.ms`` (if A is the dense baseline and B the sparse kernel,
+    ``ratio`` IS the speedup).
+    """
+    pa = prepare_kernel(fn_a, operands_a, carrier=carrier_a)
+    pb = prepare_kernel(fn_b, operands_b, carrier=carrier_b)
+    ia = _calibrate(pa.run, pa.state0, iters)
+    ib = _calibrate(pb.run, pb.state0, iters)
+    ms_a, ms_b, ratios = [], [], []
+    for _ in range(reps):
+        da = max(_delta(pa.run, pa.state0, ia), 0.0) * 1e3 / ia / pa.replicas
+        db = max(_delta(pb.run, pb.state0, ib), 0.0) * 1e3 / ib / pb.replicas
+        ms_a.append(da)
+        ms_b.append(db)
+        if da > 0 and db > 0:
+            ratios.append(da / db)
+    sa, sb = sorted(ms_a), sorted(ms_b)
+    ratios.sort()
+    ratio = ratios[len(ratios) // 2] if ratios else float("nan")
+    spread = (ratios[-1] / ratios[0]) if ratios else float("nan")
+    return PairTiming(
+        a=Timing(ms=sa[len(sa) // 2], ms_min=sa[0], iters=ia, reps=reps),
+        b=Timing(ms=sb[len(sb) // 2], ms_min=sb[0], iters=ib, reps=reps),
+        ratio=ratio,
+        ratio_spread=spread,
+    )

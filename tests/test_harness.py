@@ -41,3 +41,28 @@ def test_bench_shape_small_regular():
     _check_common(out)
     assert out["spmm24_speedup"] > 0
     assert out["ell_speedup"] > 0
+
+
+def test_bench_shape_fold_first_heuristic():
+    """m % 128 != 0 but m*b % 128 == 0: the ELL path folds the batch
+    before block selection (round-4; no per-sample m padding)."""
+    out = bench_shape(
+        LayerShape(m=64, n=16, k=64, b=2), iters=1, reps=1
+    )
+    _check_common(out)
+    assert out["ell_frac_sol"] > 0
+    assert out["gemmell_pair_ms"] > 0
+
+
+def test_build_ell_operand_fold_shapes():
+    import jax.numpy as jnp
+
+    from sparsifyme_tpu.bench.harness import build_ell_operand
+
+    a = jnp.ones((2, 64, 256), jnp.float32)
+    e, kp = build_ell_operand(a, block_size=128, block_k=64,
+                              fold_first=True)
+    assert e.shape == (128, 256) and kp == 256
+    e2, _ = build_ell_operand(a, block_size=128, block_k=64,
+                              fold_first=False)
+    assert e2.shape == (2, 128, 256)

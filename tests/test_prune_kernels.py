@@ -147,3 +147,35 @@ def test_fused_rank_mxu_bit_identical(rng):
             np.asarray(v1, np.float32), np.asarray(s.values1, np.float32))
         np.testing.assert_array_equal(
             np.asarray(codes, np.int32), np.asarray(s.codes, np.int32))
+
+
+@pytest.mark.parametrize("rows,k", [(64, 147), (64, 650), (128, 192)])
+@pytest.mark.parametrize("pad128", [True, False])
+def test_fused_lane_pad_in_kernel(rng, rows, k, pad128):
+    """Odd-k full-width tiles: lanes padded inside the kernel (no HBM
+    pad pass), with and without rounding the tile to a 128 multiple —
+    planes stay bit-identical to the two-phase oracle."""
+    from sparsifyme_tpu.ops.kernels.prune_kernel import (
+        prune_compress_24_pallas)
+
+    w = jnp.asarray(rng.normal(size=(rows, k)), jnp.bfloat16)
+    pw, _ = prune_nm(w, 2, 4)
+    want = compress_24(pw)
+    v0, v1, codes = prune_compress_24_pallas(w, pad128=pad128)
+    assert np.array_equal(np.asarray(want.values0), np.asarray(v0))
+    assert np.array_equal(np.asarray(want.values1), np.asarray(v1))
+    assert np.array_equal(np.asarray(want.codes), np.asarray(codes))
+
+
+def test_fused_block_overrides(rng):
+    """block_rows / block_k tuning knobs reach the kernel."""
+    from sparsifyme_tpu.ops.kernels.prune_kernel import (
+        prune_compress_24_pallas)
+
+    w = jnp.asarray(rng.normal(size=(256, 512)), jnp.bfloat16)
+    pw, _ = prune_nm(w, 2, 4)
+    want = compress_24(pw)
+    v0, v1, codes = prune_compress_24_pallas(w, block_rows=128,
+                                             block_k=256)
+    assert np.array_equal(np.asarray(want.values0), np.asarray(v0))
+    assert np.array_equal(np.asarray(want.codes), np.asarray(codes))

@@ -350,3 +350,35 @@ def test_plan_uses_packed_table_entry():
     plan = SpmmaPlan(SpmmaConfig(m=m, n=n, k=k, batch=b,
                                  out_dtype="bfloat16"))
     assert plan.algorithm[5] is True
+
+
+@pytest.mark.parametrize("kcfg", [(256, None), (1024, 64)])  # n_k 1 / >1
+@pytest.mark.parametrize("tout", [False, True])
+def test_spmm24_fp_row_chunks(rng, kcfg, tout):
+    """Chunk-interleaved pipelined kernel (row_chunks > 1): bit-identical
+    to the whole-slab path for single- and multi-k-step grids."""
+    k, bk4 = kcfg
+    w = _rand(rng, (256, k), jnp.bfloat16)
+    bm = _rand(rng, (k, 64), jnp.bfloat16)
+    pruned, _ = prune_24(w)
+    s = compress_24(pruned)
+    want = spmm_24(s, bm, out_dtype=jnp.float32, pipeline=True,
+                   block_m=256, block_k4=bk4, transpose_out=tout)
+    got = spmm_24(s, bm, out_dtype=jnp.float32, pipeline=True,
+                  block_m=256, block_k4=bk4, transpose_out=tout,
+                  row_chunks=2)
+    # f32 reduction-order noise across different output tilings
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_spmm24_fp_budget_override(rng):
+    w = _rand(rng, (128, 256), jnp.bfloat16)
+    bm = _rand(rng, (256, 64), jnp.bfloat16)
+    pruned, _ = prune_24(w)
+    s = compress_24(pruned)
+    want = spmm_24_reference(s, bm, out_dtype=jnp.float32)
+    got = spmm_24(s, bm, out_dtype=jnp.float32, pipeline=True,
+                  budget_mb=24)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)

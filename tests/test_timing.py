@@ -79,3 +79,27 @@ def test_chain_is_identity_on_values():
     y = jnp.ones((4,))
     out = jax.jit(lambda a, b: chain(a, b))(x, y)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_time_kernel_pair_ratio():
+    """Paired A/B protocol: ratios are positive, spread >= 1, and both
+    Timings carry per-call times (replica-normalized)."""
+    import jax.numpy as jnp
+
+    from sparsifyme_tpu.utils.timing import time_kernel_pair
+
+    a = jnp.ones((256, 256), jnp.float32)
+    b2 = jnp.ones((256, 256), jnp.float32)
+
+    def dense(x, y):
+        return x @ y
+
+    def cheap(x, y):
+        return x + y
+
+    t = time_kernel_pair(dense, (a, b2), cheap, (a, b2),
+                         carrier_a=1, carrier_b=1, iters=4, reps=3)
+    assert t.a.ms >= 0 and t.b.ms >= 0
+    assert t.ratio == t.ratio  # not NaN on CPU
+    assert t.ratio > 0
+    assert t.ratio_spread >= 1.0
