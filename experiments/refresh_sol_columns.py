@@ -20,7 +20,7 @@ from sparsifyme_tpu.bench.roofline import (dense_sol_ms, fused_sol_ms,
 from sparsifyme_tpu.bench.tuning import lookup
 
 
-def main(path="bench_results.csv"):
+def main(path="results/bench_results.csv"):
     with open(path) as f:
         rows = list(csv.DictReader(f))
     if not rows:
