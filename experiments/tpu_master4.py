@@ -93,6 +93,41 @@ def phase_config2():
             "speedup_geomean": res["speedup_vs_dense_geomean"]}
 
 
+def phase_smoke():
+    """TPU compile-smoke gate over every kernel formulation (incl. the
+    round-4 variants) — results/tpu_smoke.log. Runs before any tuning
+    so a Mosaic lowering failure surfaces immediately."""
+    import contextlib
+
+    from sparsifyme_tpu.bench import smoke
+
+    class _Tee:
+        def __init__(self, *fs):
+            self.fs = fs
+
+        def write(self, s):
+            for f in self.fs:
+                f.write(s)
+
+        def flush(self):
+            for f in self.fs:
+                f.flush()
+
+    smoke.FAILURES.clear()
+    argv_save = sys.argv
+    sys.argv = ["smoke"]  # smoke.main argparses sys.argv
+    try:
+        with open(os.path.join(REPO, "results", "tpu_smoke.log"),
+                  "w") as f:
+            with contextlib.redirect_stdout(_Tee(sys.stdout, f)):
+                rc = smoke.main()
+    finally:
+        sys.argv = argv_save
+    if rc != 0:
+        raise RuntimeError(f"smoke gate: {len(smoke.FAILURES)} failures")
+    return {"failures": 0}
+
+
 def phase_anchor():
     from sparsifyme_tpu.bench.roofline import measure_machine
     import dataclasses
@@ -238,6 +273,7 @@ def phase_config3():
 
 PHASES = [
     ("config2", phase_config2),
+    ("smoke", phase_smoke),
     ("anchor", phase_anchor),
     ("tune_ell", phase_tune_ell),
     ("tune_fused", phase_tune_fused),
