@@ -99,6 +99,7 @@ class SpmmaPlan:
         block_m, block_n, block_k4 = cfg.block_m, cfg.block_n, cfg.block_k4
         pipeline = True
         packed = False
+        e = {}
         if block_m is None and block_n is None and block_k4 is None:
             from .bench.tuning import lookup
 
@@ -114,8 +115,10 @@ class SpmmaPlan:
                     block_n = e.get("block_n")
                     block_k4 = e.get("block_k4")
                 pipeline = bool(e.get("pipeline", True))
+        row_chunks = int(e.get("row_chunks", 1) or 1)
+        budget_mb = e.get("budget_mb")
 
-        def _mk_matmul(bm_, bn_, bk4_, pipe_, packed_):
+        def _mk_matmul(bm_, bn_, bk4_, pipe_, packed_, rc_=1, bud_=None):
             return functools.partial(
                 spmm_24,
                 out_dtype=out_dtype,
@@ -124,9 +127,12 @@ class SpmmaPlan:
                 block_k4=bk4_,
                 pipeline=pipe_,
                 packed_codes=packed_,
+                row_chunks=rc_,
+                budget_mb=bud_,
             )
 
-        matmul = _mk_matmul(block_m, block_n, block_k4, pipeline, packed)
+        matmul = _mk_matmul(block_m, block_n, block_k4, pipeline, packed,
+                            row_chunks, budget_mb)
         if block_m or block_n or block_k4 or packed:
             # Table entries were raced under the winner's own output
             # layout (often C^T); this plan applies them with row-major
