@@ -154,6 +154,32 @@ def bench_shape(
 
     tuned = lookup(m, n, k, b) or {}
 
+    # Analytic speed-of-light floors (bench.roofline), computed UP FRONT
+    # so every measurement can be validated: a time below 0.85x its
+    # floor is physically impossible — relay-jitter contamination of
+    # the N/2N wall-clock difference (a round-trip spike on the middle
+    # sync subtracts from the delta; round 4 observed 2-5x-below-floor
+    # readings) — and is re-measured instead of published.
+    from .roofline import (dense_sol_ms, ell_sol_ms, fused_sol_ms,
+                           prune_sol_ms, spmm24_sol_ms)
+
+    sol_dense = dense_sol_ms(m, n, k, b)
+    sol_ell = ell_sol_ms(m, n, k, b)
+    sol_fused = fused_sol_ms(m, k, b)
+    sol_prune = prune_sol_ms(m, k, b)
+    sol24 = spmm24_sol_ms(
+        m, n, k, b,
+        packed_codes=bool(tuned.get("spmm24", {}).get("packed")))
+
+    def _guarded(fn, operands, carrier, floor_ms, *, iters_, reps_):
+        """time_kernel with one sub-floor re-measure."""
+        t = time_kernel(fn, operands, carrier=carrier, iters=iters_,
+                        reps=reps_)
+        if floor_ms and 0 < t.ms < 0.85 * floor_ms:
+            t = time_kernel(fn, operands, carrier=carrier, iters=iters_,
+                            reps=max(reps_, 3))
+        return t
+
     def _mark(what: str) -> None:
         if verbose:
             print(f"    .. {what}", flush=True)
@@ -170,10 +196,10 @@ def bench_shape(
         folds = ((tuned["gemm"]["fold"],) if "gemm" in tuned
                  else (True, False))
         cands_g = [
-            (f, time_kernel(
+            (f, _guarded(
                 lambda x, y, _f=f: batched_gemm(x, y, out_dtype=dtype,
                                                 fold=_f),
-                (a, bm), carrier=1, iters=iters, reps=reps,
+                (a, bm), 1, sol_dense, iters_=iters, reps_=reps,
             ))
             for f in folds
         ]
@@ -188,18 +214,29 @@ def bench_shape(
             flops / (best.ms * 1e9) if best.ms > 0 else math.nan
         )
 
-    def _paired(fn, operands, carrier):
+    def _paired(fn, operands, carrier, floor_ms=None):
         """Winner-vs-dense paired measurement (VERDICT r3 item 2):
         returns (sparse_ms, paired_dense_ms, speedup, spread). Falls
-        back to unpaired timing when no dense baseline was requested."""
+        back to unpaired timing when no dense baseline was requested.
+        A pair in which either side lands below 0.85x its analytic
+        floor is re-measured once (sub-floor = jitter-contaminated
+        delta, see above); the retry is published either way — the
+        second sample with reps>=3 medians is the better estimate."""
         if dense_fn is None:
-            t = time_kernel(fn, operands, carrier=carrier, iters=iters,
-                            reps=reps)
+            t = _guarded(fn, operands, carrier, floor_ms, iters_=iters,
+                         reps_=reps)
             return t.ms, math.nan, math.nan, math.nan
         p = time_kernel_pair(
             dense_fn, (a, bm), fn, operands,
             carrier_a=1, carrier_b=carrier, iters=iters, reps=reps,
         )
+        if ((floor_ms and 0 < p.b.ms < 0.85 * floor_ms)
+                or 0 < p.a.ms < 0.85 * sol_dense):
+            p = time_kernel_pair(
+                dense_fn, (a, bm), fn, operands,
+                carrier_a=1, carrier_b=carrier, iters=iters,
+                reps=max(reps, 3),
+            )
         return p.b.ms, p.a.ms, p.ratio, p.ratio_spread
 
     pruned = None
@@ -209,9 +246,9 @@ def bench_shape(
         pruned = fp(a)
         # Time the full op (weights AND mask outputs, like the reference
         # kernel writes both — sparsify.hxx:71,74-81).
-        t = time_kernel(
-            lambda x: prune_nm(x, 2, 4), (pruned,), carrier=0,
-            iters=iters, reps=reps,
+        t = _guarded(
+            lambda x: prune_nm(x, 2, 4), (pruned,), 0, sol_prune,
+            iters_=iters, reps_=reps,
         )
         out["prune_ms"] = t.ms
 
@@ -235,23 +272,24 @@ def bench_shape(
         # a tuned entry pins the winner + tiling knobs instead.
         fe = tuned.get("fused")
         if fe:
-            cands_f = [time_kernel(
+            cands_f = [_guarded(
                 lambda x: prune_compress_24(
                     x, rank_mxu=fe.get("rank_mxu", False),
                     block_rows=fe.get("block_rows"),
                     block_k=fe.get("block_k"),
                     pad128=fe.get("pad128", True)),
-                (a,), carrier=0, iters=max(4, iters // 2), reps=reps,
+                (a,), 0, sol_fused, iters_=max(4, iters // 2),
+                reps_=reps,
             )]
         else:
-            cands_f = [time_kernel(
-                prune_compress_24, (a,), carrier=0,
-                iters=max(4, iters // 2), reps=reps,
+            cands_f = [_guarded(
+                prune_compress_24, (a,), 0, sol_fused,
+                iters_=max(4, iters // 2), reps_=reps,
             )]
             if dtype == jnp.bfloat16:
-                cands_f.append(time_kernel(
+                cands_f.append(_guarded(
                     lambda x: prune_compress_24(x, rank_mxu=True), (a,),
-                    carrier=0, iters=max(4, iters // 2), reps=reps,
+                    0, sol_fused, iters_=max(4, iters // 2), reps_=reps,
                 ))
         t = min((x for x in cands_f if x.ms > 0),
                 key=lambda x: x.ms, default=cands_f[0])
@@ -306,8 +344,8 @@ def bench_shape(
             ]
         if len(cands24) > 1:
             raced = [
-                (time_kernel(fn, ops_, carrier=car, iters=iters,
-                             reps=reps).ms, i)
+                (_guarded(fn, ops_, car, sol24, iters_=iters,
+                          reps_=reps).ms, i)
                 for i, (fn, ops_, car) in enumerate(cands24)
             ]
             win = min((x for x in raced if x[0] > 0),
@@ -315,7 +353,8 @@ def bench_shape(
         else:
             win = 0
         fn24, ops24, car24 = cands24[win]
-        ms24, gp24, sp24, spread24 = _paired(fn24, ops24, car24)
+        ms24, gp24, sp24, spread24 = _paired(fn24, ops24, car24,
+                                             floor_ms=sol24)
         out["spmm24_ms"] = ms24
         out["gemm24_pair_ms"] = gp24
         out["pair_spread24"] = spread24
@@ -385,8 +424,8 @@ def bench_shape(
                 ))
         if len(cands) > 1:
             raced = [
-                (time_kernel(fn, ops_, carrier=car, iters=iters,
-                             reps=reps).ms, i)
+                (_guarded(fn, ops_, car, sol_ell, iters_=iters,
+                          reps_=reps).ms, i)
                 for i, (fn, ops_, car) in enumerate(cands)
             ]
             win = min((x for x in raced if x[0] > 0),
@@ -394,7 +433,8 @@ def bench_shape(
         else:
             win = 0
         fne, opse, care = cands[win]
-        mse, gpe, spe, spreade = _paired(fne, opse, care)
+        mse, gpe, spe, spreade = _paired(fne, opse, care,
+                                         floor_ms=sol_ell)
         out["ell_ms"] = mse
         out["gemmell_pair_ms"] = gpe
         out["pair_spreadell"] = spreade
@@ -411,26 +451,22 @@ def bench_shape(
         if out.get("ell_ms", 0) > 0 and "ell_speedup" not in out:
             out["ell_speedup"] = out["gemm_ms"] / out["ell_ms"]
 
-    # Per-shape speed-of-light model (analytic, no device time): the
-    # physically achievable 2:4-vs-dense speedup on a dense-MXU chip —
-    # full FLOPs, 1.25 B/elem A traffic (see bench.roofline). The
-    # fraction-of-SoL column is what BASELINE's 1.5x target is judged
-    # against on compute-bound layers, where SoL itself is ~1.0x.
-    from .roofline import (dense_sol_ms, ell_sol_ms, fused_sol_ms,
-                           spmm24_sol_ms)
-
-    out["fused_sol_ms"] = fused_sol_ms(m, k, b)
+    # Per-shape speed-of-light columns (the analytic model computed up
+    # front): the physically achievable 2:4-vs-dense speedup on a
+    # dense-MXU chip — full FLOPs, 1.25 B/elem A traffic (see
+    # bench.roofline). The fraction-of-SoL column is what BASELINE's
+    # 1.5x target is judged against on compute-bound layers, where SoL
+    # itself is ~1.0x.
+    out["fused_sol_ms"] = sol_fused
     if out.get("fused_ms", 0) > 0:
-        out["fused_frac_sol"] = out["fused_sol_ms"] / out["fused_ms"]
-    out["sol24_ms"] = spmm24_sol_ms(
-        m, n, k, b,
-        packed_codes=bool(tuned.get("spmm24", {}).get("packed")))
-    out["sol_speedup"] = dense_sol_ms(m, n, k, b) / out["sol24_ms"]
+        out["fused_frac_sol"] = sol_fused / out["fused_ms"]
+    out["sol24_ms"] = sol24
+    out["sol_speedup"] = sol_dense / sol24
     if out.get("spmm24_ms", 0) > 0:
-        out["spmm24_frac_sol"] = out["sol24_ms"] / out["spmm24_ms"]
-    out["ell_sol_ms"] = ell_sol_ms(m, n, k, b)
+        out["spmm24_frac_sol"] = sol24 / out["spmm24_ms"]
+    out["ell_sol_ms"] = sol_ell
     if out.get("ell_ms", 0) > 0:
-        out["ell_frac_sol"] = out["ell_sol_ms"] / out["ell_ms"]
+        out["ell_frac_sol"] = sol_ell / out["ell_ms"]
     return out
 
 
