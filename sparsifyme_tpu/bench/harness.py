@@ -398,12 +398,14 @@ def bench_shape(
                 # MXU.
                 forms += [("expand", tr, False) for tr in (False, True)]
         cands = []
+        bn_t = te.get("block_n")  # tuned full-width B-slab (else kernel
+        # default n-tiling)
         for form, tr, acc_ in forms:
             if form == "gather":
                 cands.append((
                     lambda ee, y, _tr=tr, _a=acc_: spmm_ell(
                         ee, y, out_dtype=dtype, transpose_out=_tr,
-                        accum_dots=_a),
+                        block_n=bn_t, accum_dots=_a),
                     (e, bp), 1,
                 ))
             else:

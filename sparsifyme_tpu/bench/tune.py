@@ -251,26 +251,48 @@ def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
                 e, kp = build_ell_operand(a, block_size=bs, block_k=bkb,
                                           fold_first=ff)
                 bp = jnp.pad(bm_, ((0, kp - k), (0, 0)))
+                # Full-width B-slab candidate: the kernel's default
+                # n-tile is min(n_pad, 1024, 4MB-slab cap). When that
+                # truncates (large n -> A re-streamed per extra n-tile)
+                # or forces a non-divisor bn (large kp -> padded C
+                # work, e.g. kp=4608 caps bn at 384 so n=512 pads to
+                # 768), race block_n = the full padded width as long
+                # as the [kp, bn] slab stays within ~8 MB of VMEM.
+                bn_default = min(_round_up(n, 128), 1024,
+                                 max(128, (4 * 1024 * 1024 // (kp * 2))
+                                     // 128 * 128))
+                full_bn = _round_up(n, 128)
+                bns = [None]
+                if (n >= 128 and full_bn > bn_default
+                        and kp * full_bn * 2 <= 8 * 1024 * 1024):
+                    bns.append(full_bn)
                 # accum_dots (copy-free per-slab dots) only pays at wide
                 # block edges where depth-bkb dots keep the MXU busy.
                 accs = (False, True) if bkb >= 64 else (False,)
-                for acc in accs:
-                    for tr in (False, True):
-                        ms = _time(
-                            lambda ee, y, _tr=tr, _a=acc: spmm_ell(
-                                ee, y, out_dtype=dtype, transpose_out=_tr,
-                                accum_dots=_a),
-                            (e, bp), 1, iters, reps,
-                            floor_ms=ell_sol_ms(m, n, k, b))
-                        print(f"    ell gather bkb={bkb} ff={int(ff)} "
-                              f"tout={tr} acc={int(acc)}: {ms:.3f} ms",
-                              flush=True)
-                        if ms < best_ms:
-                            best = dict(formulation="gather",
-                                        transpose_out=tr, block_size=bs,
-                                        block_k=bkb, accum_dots=acc,
-                                        fold_first=ff)
-                            best_ms = ms
+                for bn_c in bns:
+                    for acc in accs:
+                        for tr in (False, True):
+                            ms = _time(
+                                lambda ee, y, _tr=tr, _a=acc, _bn=bn_c:
+                                spmm_ell(
+                                    ee, y, out_dtype=dtype,
+                                    transpose_out=_tr, block_n=_bn,
+                                    accum_dots=_a),
+                                (e, bp), 1, iters, reps,
+                                floor_ms=ell_sol_ms(m, n, k, b))
+                            print(f"    ell gather bkb={bkb} "
+                                  f"ff={int(ff)} tout={tr} "
+                                  f"acc={int(acc)} bn={bn_c}: "
+                                  f"{ms:.3f} ms", flush=True)
+                            if ms < best_ms:
+                                best = dict(formulation="gather",
+                                            transpose_out=tr,
+                                            block_size=bs,
+                                            block_k=bkb, accum_dots=acc,
+                                            fold_first=ff)
+                                if bn_c:
+                                    best["block_n"] = bn_c
+                                best_ms = ms
                 if k <= 1024 and (full or bkb == heur):
                     vkm = jax.jit(ell_values_kmajor)(e)
                     cols = e.col_indices.reshape(

@@ -66,6 +66,20 @@ def test_spmm_ell_matches_oracle(rng, m, k, n, bs, ell):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("bn", [128, 256, 384])
+def test_spmm_ell_explicit_block_n(rng, bn):
+    """Tuned full-width B-slab override (block_n): same result as the
+    default n-tiling, including when block_n exceeds n (the kernel pads
+    B/C to a block_n multiple and slices the result back)."""
+    m, k, n = 64, 128, 256
+    w = _rand(rng, (m, k))
+    e = ell_from_dense(w, block_size=16, ell_blocks=4)
+    b = _rand(rng, (k, n))
+    got = spmm_ell(e, b, out_dtype=jnp.float32, block_n=bn)
+    want = np.asarray(ell_to_dense(e), np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
 def test_spmm_ell_batched_shared_b(rng):
     w = _rand(rng, (4, 16, 32))
     e = ell_from_dense(w, block_size=8, ell_blocks=2)
