@@ -155,21 +155,36 @@ def min_delta_s() -> float:
     """
     global _min_delta_cache
     if _min_delta_cache is None:
+        import os
+
         import jax
 
-        if jax.default_backend() == "cpu":
+        env = os.environ.get("SPARSIFYME_MIN_DELTA_S")
+        if env:
+            _min_delta_cache = float(env)
+        elif jax.default_backend() == "cpu":
             _min_delta_cache = _MIN_DELTA_S
         else:
             x = jnp.zeros((8,), jnp.float32)
             sync(x)  # compile the probe + settle the link
-            rtts = []
-            for _ in range(9):
-                t0 = time.perf_counter()
-                sync(x)
-                rtts.append(time.perf_counter() - t0)
-            spread = max(rtts) - min(rtts)
-            _min_delta_cache = min(max(0.04, 4.0 * spread), 0.25)
+            rtts = sorted(
+                _timed_sync(x) for _ in range(11)
+            )
+            # Trimmed spread (drop one extreme per side): a single
+            # outlier round trip must not balloon the floor — the
+            # occasional spike is exactly what the median-of-reps
+            # rejects; the floor only needs to dwarf the TYPICAL
+            # spread. (An untrimmed max-min calibrated 137 ms once,
+            # quadrupling every sweep for no accuracy gain.)
+            spread = rtts[-2] - rtts[1]
+            _min_delta_cache = min(max(0.06, 4.0 * spread), 0.15)
     return _min_delta_cache
+
+
+def _timed_sync(x) -> float:
+    t0 = time.perf_counter()
+    sync(x)
+    return time.perf_counter() - t0
 
 
 def _measure(run: Callable, state0: Any, iters: int, reps: int):
@@ -188,6 +203,12 @@ def _measure(run: Callable, state0: Any, iters: int, reps: int):
     floor = min_delta_s()
     sync(run(state0, jnp.int32(iters)))  # compile + warmup
     sync(run(state0, jnp.int32(2 * iters)))
+    # Cheap calibration ladder: ONE delta probe per doubling (full-reps
+    # ladders tripled the calibration cost for nothing — only the final
+    # level's samples are reported), then the real reps at the chosen
+    # level, still gated on their own median.
+    while iters < _MAX_ITERS and _delta(run, state0, iters) < floor:
+        iters *= 2
     while True:
         raw = sorted(_delta(run, state0, iters) for _ in range(reps))
         if raw[len(raw) // 2] >= floor or iters >= _MAX_ITERS:
