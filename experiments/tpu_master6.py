@@ -1,22 +1,22 @@
-"""Round-4 third TPU pass: full-width B-slab ELL retune + final sweep.
+"""Round-4 third TPU pass: copy-bound-ELL retune (gather_db/block_n) + final sweep.
 
 Run AFTER experiments.tpu_master5 completes (>=10 min cooldown). The
-ELL gather kernel's default n-tile is min(n_pad, 1024, 4MB-slab cap),
-which is pessimal on two sweep shapes:
+master5 hardened sweep localized the remaining headline gap to ONE
+kernel regime: ELL gather on shapes where the per-block-row B-slab
+gather (a synchronous ~ellk*bn-byte VMEM copy) serializes with the dot
+— measured time there is invariant to block_k/accum/transpose and sits
+at 0.45-0.76 of SoL (worst: 196x512x4608, 784x512x1024). Two fixes,
+both tuner-raced:
 
-  * 196x512x4608 (x3 layers): kp=4608 caps bn at 384, so n=512 pads to
-    768 — +50% C-write work;
-  * 196x2048x512 (x3 layers): bn=1024 splits n=2048 in two — A values
-    and indices streamed twice.
-
-bench.tune now races ``block_n = round_up(n, 128)`` wherever the
-default truncates and the [kp, bn] slab fits in ~8 MB of VMEM, and the
-harness passes the tuned ``block_n`` through. This pass re-tunes
-exactly those shapes with the hardened (jitter-calibrated) timer, then
-reruns the paired sweep twice and rewrites the committed artifacts.
+  * ``gather_db``: async double-buffered slab gather (local DMA into a
+    ping-pong scratch) overlapping the MXU dot — `_kernel_db`;
+  * ``block_n``: full-width B slab where the default n-tile truncates
+    (kp=4608 forces bn=384 so n=512 pads to 768; n=2048 splits in two,
+    re-streaming A).
 
 Phases (resumable via results/master6_state.json):
-  retune_bn — ELL re-tune of the two block_n shapes (--fresh)
+  smoke_db  — on-device gather_db correctness vs reference oracle
+  retune_bn — ELL re-tune of the 8 sub-0.85-frac-SoL shapes (--fresh)
   sweep     — paired sweep A/B; rewrites results/{bench_results.csv,
               compare_tpu.csv, sweep_summary_r4.json, config1.json}
 
@@ -43,7 +43,12 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-BN_SHAPES = ("196x512x4608x32", "196x2048x512x32")
+# Every sweep shape with ELL frac-SoL < 0.85 in the master5 run-A sweep
+# AND analytic headroom (SoL speedup > 1.3): the gather_db / block_n
+# candidates target exactly this copy-bound regime.
+BN_SHAPES = ("12544x64x147x32", "12544x64x576x32", "3136x128x1152x32",
+             "3136x256x512x32", "784x512x1024x32", "196x512x4608x32",
+             "196x2048x512x32", "196x512x2048x32")
 
 
 def _state():
@@ -69,6 +74,40 @@ def dump(path, obj):
         json.dump(obj, f, indent=1, default=float)
         f.write("\n")
     print(f"  -> wrote {path}", flush=True)
+
+
+def phase_smoke_db():
+    """On-device correctness gate for the new gather_db formulation
+    before any timing: async local DMA + semaphores are exactly the
+    Mosaic features interpret mode cannot vouch for."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparsifyme_tpu.bench.harness import build_ell_operand
+    from sparsifyme_tpu.ops.ell import spmm_ell, spmm_ell_reference
+
+    key = jax.random.PRNGKey(7)
+    for (m, k, n, bkb) in ((196, 512, 2048, 256), (196, 4608, 512, 256),
+                           (784, 1024, 512, 64)):
+        a = jax.random.normal(key, (4, m, k), jnp.bfloat16)
+        e, kp = build_ell_operand(a, block_size=128, block_k=bkb,
+                                  fold_first=True)
+        bm = jax.random.normal(key, (kp, n), jnp.bfloat16)
+        want = np.asarray(spmm_ell_reference(e, bm,
+                                             out_dtype=jnp.float32))
+        for tout in (False, True):
+            got = np.asarray(spmm_ell(e, bm, out_dtype=jnp.float32,
+                                      gather_db=True,
+                                      transpose_out=tout))
+            if tout:
+                got = got.swapaxes(-1, -2)
+            err = float(np.max(np.abs(got.reshape(want.shape) - want))
+                        / (np.max(np.abs(want)) + 1e-9))
+            print(f"  db {m}x{k}x{n} bkb={bkb} tout={int(tout)}: "
+                  f"rel-err {err:.2e}", flush=True)
+            if err > 2e-2:
+                raise RuntimeError(f"gather_db mismatch: {err}")
+    return {}
 
 
 def phase_retune_bn():
@@ -135,6 +174,7 @@ def phase_sweep():
 
 
 PHASES = [
+    ("smoke_db", phase_smoke_db),
     ("retune_bn", phase_retune_bn),
     ("sweep", phase_sweep),
 ]

@@ -156,6 +156,13 @@ def check_ell(b, m, k, n, tol=2e-2):
         # Copy-free accumulated-dots gather (table-selectable).
         got = spmm_ell(e, bm, out_dtype=jnp.float32, accum_dots=True)
         _close(f"{tag} gather accum", got, want, tol)
+    for tout in (False, True):
+        # Async double-buffered slab gather (table-selectable).
+        got = spmm_ell(e, bm, out_dtype=jnp.float32, gather_db=True,
+                       transpose_out=tout)
+        if tout:
+            got = np.asarray(got).swapaxes(-1, -2).reshape(want.shape)
+        _close(f"{tag} gather db tout={int(tout)}", got, want, tol)
     vkm = jax.jit(ell_values_kmajor)(e)
     cols = e.col_indices.reshape(-1, e.col_indices.shape[-1])
     for tout in (False, True):

@@ -268,28 +268,38 @@ def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
                     bns.append(full_bn)
                 # accum_dots (copy-free per-slab dots) only pays at wide
                 # block edges where depth-bkb dots keep the MXU busy.
-                accs = (False, True) if bkb >= 64 else (False,)
+                # gather_db (async double-buffered slab gather) targets
+                # the copy-bound fat shapes — race it wherever the
+                # per-block-row gathered bytes are significant.
+                ellk_ = e.values.shape[-1]
+                variants = [dict(accum_dots=a)
+                            for a in ((False, True) if bkb >= 64
+                                      else (False,))]
+                if ellk_ * min(_round_up(n, 128), 1024) * 2 >= (1 << 16):
+                    variants.append(dict(gather_db=True))
                 for bn_c in bns:
-                    for acc in accs:
+                    for var in variants:
                         for tr in (False, True):
                             ms = _time(
-                                lambda ee, y, _tr=tr, _a=acc, _bn=bn_c:
+                                lambda ee, y, _tr=tr, _v=var, _bn=bn_c:
                                 spmm_ell(
                                     ee, y, out_dtype=dtype,
                                     transpose_out=_tr, block_n=_bn,
-                                    accum_dots=_a),
+                                    **_v),
                                 (e, bp), 1, iters, reps,
                                 floor_ms=ell_sol_ms(m, n, k, b))
+                            tag = ("db" if var.get("gather_db")
+                                   else f"acc={int(var.get('accum_dots', False))}")
                             print(f"    ell gather bkb={bkb} "
                                   f"ff={int(ff)} tout={tr} "
-                                  f"acc={int(acc)} bn={bn_c}: "
+                                  f"{tag} bn={bn_c}: "
                                   f"{ms:.3f} ms", flush=True)
                             if ms < best_ms:
                                 best = dict(formulation="gather",
                                             transpose_out=tr,
                                             block_size=bs,
-                                            block_k=bkb, accum_dots=acc,
-                                            fold_first=ff)
+                                            block_k=bkb,
+                                            fold_first=ff, **var)
                                 if bn_c:
                                     best["block_n"] = bn_c
                                 best_ms = ms

@@ -131,12 +131,14 @@ def spmm_ell(
     interpret: Optional[bool] = None,
     transpose_out: bool = False,
     accum_dots: bool = False,
+    gather_db: bool = False,
 ) -> jax.Array:
     """Batched Blocked-ELL SpMM: ``ell_to_dense(e) @ b`` with zero blocks
     skipped on the MXU. ``transpose_out`` returns C^T ``[n, M]`` (batch
     folded in lanes; column-major convention, cheaper for small n).
-    ``accum_dots`` selects the copy-free per-slab-dot formulation
-    (tuning-table choice; wins at wide block edges).
+    ``accum_dots`` selects the copy-free per-slab-dot formulation;
+    ``gather_db`` double-buffers the slab gather by async local DMA
+    against the dot (both tuning-table choices).
 
     ``e`` may carry batch dims (the reference's batch of `ell_t`s,
     `spmm.hxx:31`); ``b (k, n)`` is shared across the batch
@@ -186,6 +188,7 @@ def spmm_ell(
         interpret=interpret,
         transpose_out=transpose_out,
         accum_dots=accum_dots,
+        gather_db=gather_db,
     )
     if transpose_out:
         return _epilogue(out, alpha, beta, c, out_dtype)

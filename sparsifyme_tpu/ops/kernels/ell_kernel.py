@@ -123,10 +123,62 @@ def _kernel(col_ref, val_ref, b_ref, out_ref, *, mblk: int, n_ell: int,
             ).astype(out_ref.dtype)
 
 
+def _kernel_db(col_ref, val_ref, b_ref, out_ref, bg_ref, sem_ref, *,
+               mblk: int, n_ell: int, bs: int, bkb: int, mb: int,
+               tout: bool):
+    """Double-buffered slab gather (the NEXT.md item-5 fix).
+
+    The plain gather's per-block-row B-slab slices lower to synchronous
+    VMEM copies (~ellk*bn bytes per block-row) serialized with the dot
+    — measured time on fat shapes (n >= 512, k >= 1024) is invariant to
+    block_k/accum/transpose because that copy, not the MXU, is the
+    bound (196x512x2048 sat at 0.59 of SoL). Here block-row r+1's slabs
+    are gathered by *async* local DMA into the ping-pong half of a
+    [2, ellk, bn] scratch while block-row r's dot consumes the other
+    half: copy and MXU time overlap instead of adding.
+    """
+    ib = pl.program_id(1)
+
+    def copies(r, buf):
+        row = (ib * mblk + r) * n_ell
+        return [
+            pltpu.make_async_copy(
+                b_ref.at[pl.ds(col_ref[row + e] * bkb, bkb), :],
+                bg_ref.at[buf, pl.ds(e * bkb, bkb), :],
+                sem_ref.at[buf, e],
+            )
+            for e in range(n_ell)
+        ]
+
+    for c in copies(0, 0):
+        c.start()
+    for r in range(mblk):  # static unroll
+        buf = r % 2
+        if r + 1 < mblk:
+            for c in copies(r + 1, 1 - buf):
+                c.start()
+        for c in copies(r, buf):
+            c.wait()
+        a_blk = val_ref[r * bs:(r + 1) * bs, :]
+        bg = bg_ref[buf]
+        if tout:
+            res = jax.lax.dot_general(
+                bg, a_blk, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[:, r * bs:(r + 1) * bs] = res[
+                :out_ref.shape[0]].astype(out_ref.dtype)
+        else:
+            out_ref[r * bs:(r + 1) * bs, :] = jnp.dot(
+                a_blk, bg, preferred_element_type=jnp.float32
+            ).astype(out_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "block_k", "out_dtype", "block_n",
-                     "interpret", "transpose_out", "accum_dots"),
+                     "interpret", "transpose_out", "accum_dots",
+                     "gather_db"),
 )
 def ell_spmm_pallas(
     values: jax.Array,       # [M, ell_blocks * bkb] (batch folded in rows)
@@ -140,12 +192,15 @@ def ell_spmm_pallas(
     interpret: Optional[bool] = None,
     transpose_out: bool = False,
     accum_dots: bool = False,
+    gather_db: bool = False,
 ) -> jax.Array:
     """C[M, n] = BlockedEll(values, col_indices) @ b (batch-folded);
     ``transpose_out`` emits C^T [n, M] (column-major convention, no
     lane padding for small n). ``accum_dots`` skips the per-block-row
     slab concatenate in favor of accumulated per-slab dots (see
-    `_kernel`; a tuning-table-selectable formulation)."""
+    `_kernel`); ``gather_db`` double-buffers the slab gather by async
+    local DMA against the dot (see `_kernel_db`). Both are
+    tuning-table-selectable formulations."""
     if interpret is None:
         interpret = default_interpret()
     bs = block_size
@@ -192,6 +247,9 @@ def ell_spmm_pallas(
     obytes = jnp.dtype(out_dtype).itemsize
     out_cols = min(bn, np_)  # per-step out lane width (row-major path)
     vmem_free = 12 * 1024 * 1024 - kp * bn * b.dtype.itemsize
+    if gather_db:
+        # Ping-pong gathered-slab scratch lives in VMEM too.
+        vmem_free -= 2 * ellk * bn * b.dtype.itemsize
     per_row = 2 * bs * ellk * vbytes + 2 * bs * out_cols * obytes
     mblk_cap = max(1, vmem_free // max(1, per_row))
     mblk_cap = min(mblk_cap, max(1, 256 // max(1, n_ell)), mb)
@@ -253,7 +311,27 @@ def ell_spmm_pallas(
             pl.BlockSpec((kp, bn), _b_idx, memory_space=pltpu.VMEM),
         ],
         out_specs=out_spec,
+        scratch_shapes=(
+            [pltpu.VMEM((2, ellk, bn), b.dtype),
+             pltpu.SemaphoreType.DMA((2, n_ell))]
+            if gather_db else []
+        ),
     )
+    if gather_db:
+        body = functools.partial(
+            _kernel_db, mblk=mblk, n_ell=n_ell, bs=bs, bkb=bkb, mb=mb,
+            tout=transpose_out,
+        )
+        if interpret is True:
+            # Local async copies + DMA semaphores need the TPU
+            # interpreter (plain interpret has no semaphore model).
+            interpret = pltpu.InterpretParams(
+                dma_execution_mode="on_wait")
+    else:
+        body = functools.partial(
+            _kernel, mblk=mblk, n_ell=n_ell, bs=bs, bkb=bkb, mb=mb,
+            tout=transpose_out, accum=accum_dots,
+        )
 
     flops = 2 * m * ellk * n
     bytes_accessed = (
@@ -263,10 +341,7 @@ def ell_spmm_pallas(
     )
 
     out = pl.pallas_call(
-        functools.partial(
-            _kernel, mblk=mblk, n_ell=n_ell, bs=bs, bkb=bkb, mb=mb,
-            tout=transpose_out, accum=accum_dots,
-        ),
+        body,
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(

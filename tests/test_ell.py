@@ -66,6 +66,23 @@ def test_spmm_ell_matches_oracle(rng, m, k, n, bs, ell):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("tr", [False, True])
+@pytest.mark.parametrize("bkb", [16, 32])
+def test_spmm_ell_gather_db(rng, tr, bkb):
+    """Double-buffered async slab gather == plain gather (all
+    formulations compute the identical contraction)."""
+    m, k, n = 64, 128, 192
+    w = _rand(rng, (m, k))
+    e = ell_from_dense(w, block_size=16, ell_blocks=2, block_k=bkb)
+    b = _rand(rng, (k, n))
+    got = spmm_ell(e, b, out_dtype=jnp.float32, gather_db=True,
+                   transpose_out=tr)
+    want = np.asarray(ell_to_dense(e), np.float64) @ np.asarray(b, np.float64)
+    if tr:
+        want = want.T
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("bn", [128, 256, 384])
 def test_spmm_ell_explicit_block_n(rng, bn):
     """Tuned full-width B-slab override (block_n): same result as the
