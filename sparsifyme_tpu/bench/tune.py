@@ -266,6 +266,16 @@ def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
                 if (n >= 128 and full_bn > bn_default
                         and kp * full_bn * 2 <= 8 * 1024 * 1024):
                     bns.append(full_bn)
+                # Sub-width n-tile: A is re-streamed per extra tile but
+                # every per-step tile gets the geometry of the fast
+                # narrow-n siblings (the gather probe ruled the dynamic
+                # slicing OUT as the fat-shape bound — geometry is the
+                # remaining suspect; 784x512x1024 runs 0.046 ms at
+                # n=256 and 0.147 at n=512 with identical A).
+                if n >= 256:
+                    half_bn = max(128, full_bn // 2)
+                    if half_bn != bn_default and half_bn not in bns:
+                        bns.append(half_bn)
                 # accum_dots (copy-free per-slab dots) only pays at wide
                 # block edges where depth-bkb dots keep the MXU busy.
                 # gather_db (async double-buffered slab gather) targets

@@ -64,16 +64,21 @@ def _pick_mblk(mb: int, cap: int) -> int:
 
 
 def _kernel(col_ref, val_ref, b_ref, out_ref, *, mblk: int, n_ell: int,
-            bs: int, bkb: int, mb: int, tout: bool, accum: bool):
+            bs: int, bkb: int, mb: int, tout: bool, accum: bool,
+            static_gather: bool = False):
     ib = pl.program_id(1)
 
     for r in range(mblk):  # static unroll over the tile's block-rows
         row = (ib * mblk + r) * n_ell
         # Gather this block-row's B slabs by SUBLANE dynamic slices
         # (any offset — lane slices would need 128-alignment, which a
-        # 32-wide block edge cannot give).
+        # 32-wide block edge cannot give). ``static_gather`` replaces
+        # the data-dependent offsets with static ones — WRONG results,
+        # purely a timing probe isolating the dynamic-gather cost
+        # (everything else byte-identical).
         slabs = [
-            b_ref[pl.ds(col_ref[row + e] * bkb, bkb), :]
+            (b_ref[e * bkb:(e + 1) * bkb, :] if static_gather else
+             b_ref[pl.ds(col_ref[row + e] * bkb, bkb), :])
             for e in range(n_ell)
         ]
         a_blk = val_ref[r * bs:(r + 1) * bs, :]
@@ -178,7 +183,7 @@ def _kernel_db(col_ref, val_ref, b_ref, out_ref, bg_ref, sem_ref, *,
     jax.jit,
     static_argnames=("block_size", "block_k", "out_dtype", "block_n",
                      "interpret", "transpose_out", "accum_dots",
-                     "gather_db"),
+                     "gather_db", "static_gather"),
 )
 def ell_spmm_pallas(
     values: jax.Array,       # [M, ell_blocks * bkb] (batch folded in rows)
@@ -193,6 +198,7 @@ def ell_spmm_pallas(
     transpose_out: bool = False,
     accum_dots: bool = False,
     gather_db: bool = False,
+    static_gather: bool = False,
 ) -> jax.Array:
     """C[M, n] = BlockedEll(values, col_indices) @ b (batch-folded);
     ``transpose_out`` emits C^T [n, M] (column-major convention, no
@@ -331,6 +337,7 @@ def ell_spmm_pallas(
         body = functools.partial(
             _kernel, mblk=mblk, n_ell=n_ell, bs=bs, bkb=bkb, mb=mb,
             tout=transpose_out, accum=accum_dots,
+            static_gather=static_gather,
         )
 
     flops = 2 * m * ellk * n
