@@ -401,12 +401,14 @@ def bench_shape(
         bn_t = te.get("block_n")  # tuned full-width B-slab (else kernel
         # default n-tiling)
         db_t = bool(te.get("gather_db", False))
+        cap_t = te.get("block_rows_cap")
         for form, tr, acc_ in forms:
             if form == "gather":
                 cands.append((
                     lambda ee, y, _tr=tr, _a=acc_: spmm_ell(
                         ee, y, out_dtype=dtype, transpose_out=_tr,
-                        block_n=bn_t, accum_dots=_a, gather_db=db_t),
+                        block_n=bn_t, accum_dots=_a, gather_db=db_t,
+                        block_rows_cap=cap_t),
                     (e, bp), 1,
                 ))
             else:

@@ -332,6 +332,33 @@ def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
                                         transpose_out=tr, block_size=bs,
                                         block_k=bkb, fold_first=ff)
                             best_ms = ms
+        if best is not None and best.get("formulation") == "gather":
+            # Winner refinement: race a capped block-row tile on the
+            # winning config. Big auto-picked tiles (4 MB of values)
+            # can brush the VMEM ceiling once double-buffered and the
+            # pipeline silently serializes (12544x64x576 measured the
+            # serial SUM of A-stream + dots + C-writes).
+            e, kp = build_ell_operand(
+                a, block_size=best["block_size"],
+                block_k=best["block_k"],
+                fold_first=best.get("fold_first", False))
+            bp = jnp.pad(bm_, ((0, kp - k), (0, 0)))
+            for cap in (32, 16):
+                ms = _time(
+                    lambda ee, y, _c=cap: spmm_ell(
+                        ee, y, out_dtype=dtype,
+                        transpose_out=best["transpose_out"],
+                        block_n=best.get("block_n"),
+                        accum_dots=best.get("accum_dots", False),
+                        gather_db=best.get("gather_db", False),
+                        block_rows_cap=_c),
+                    (e, bp), 1, iters, reps,
+                    floor_ms=ell_sol_ms(m, n, k, b))
+                print(f"    ell winner+cap={cap}: {ms:.3f} ms",
+                      flush=True)
+                if ms < best_ms:
+                    best = dict(best, block_rows_cap=cap)
+                    best_ms = ms
         if best is not None:
             best["ms"] = round(best_ms, 5)
             entry["ell"] = best

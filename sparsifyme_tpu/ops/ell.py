@@ -132,6 +132,7 @@ def spmm_ell(
     transpose_out: bool = False,
     accum_dots: bool = False,
     gather_db: bool = False,
+    block_rows_cap: "Optional[int]" = None,
 ) -> jax.Array:
     """Batched Blocked-ELL SpMM: ``ell_to_dense(e) @ b`` with zero blocks
     skipped on the MXU. ``transpose_out`` returns C^T ``[n, M]`` (batch
@@ -189,6 +190,7 @@ def spmm_ell(
         transpose_out=transpose_out,
         accum_dots=accum_dots,
         gather_db=gather_db,
+        block_rows_cap=block_rows_cap,
     )
     if transpose_out:
         return _epilogue(out, alpha, beta, c, out_dtype)

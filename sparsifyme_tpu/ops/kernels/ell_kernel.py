@@ -183,7 +183,7 @@ def _kernel_db(col_ref, val_ref, b_ref, out_ref, bg_ref, sem_ref, *,
     jax.jit,
     static_argnames=("block_size", "block_k", "out_dtype", "block_n",
                      "interpret", "transpose_out", "accum_dots",
-                     "gather_db", "static_gather"),
+                     "gather_db", "static_gather", "block_rows_cap"),
 )
 def ell_spmm_pallas(
     values: jax.Array,       # [M, ell_blocks * bkb] (batch folded in rows)
@@ -199,6 +199,7 @@ def ell_spmm_pallas(
     accum_dots: bool = False,
     gather_db: bool = False,
     static_gather: bool = False,
+    block_rows_cap: Optional[int] = None,
 ) -> jax.Array:
     """C[M, n] = BlockedEll(values, col_indices) @ b (batch-folded);
     ``transpose_out`` emits C^T [n, M] (column-major convention, no
@@ -259,6 +260,14 @@ def ell_spmm_pallas(
     per_row = 2 * bs * ellk * vbytes + 2 * bs * out_cols * obytes
     mblk_cap = max(1, vmem_free // max(1, per_row))
     mblk_cap = min(mblk_cap, max(1, 256 // max(1, n_ell)), mb)
+    if block_rows_cap:
+        # Tuner override: on big-m streaming shapes the auto-picked
+        # tile (e.g. 64 block-rows = 4 MB of values) can brush the
+        # VMEM ceiling once pallas double-buffers it, and the pipeline
+        # silently degrades to serial DMA->compute (12544x64x576
+        # measured = the serial SUM of A-stream + dots + C-writes).
+        # Halving the tile restores overlap at a small per-step cost.
+        mblk_cap = min(mblk_cap, block_rows_cap)
     mblk = _pick_mblk(mb, mblk_cap)
     mbp = _cdiv(mb, mblk) * mblk
     if mbp != mb:

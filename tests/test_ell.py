@@ -83,6 +83,17 @@ def test_spmm_ell_gather_db(rng, tr, bkb):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
 
 
+def test_spmm_ell_block_rows_cap(rng):
+    """Capped block-row tile (smaller grid steps) == default result."""
+    m, k, n = 128, 64, 96
+    w = _rand(rng, (m, k))
+    e = ell_from_dense(w, block_size=8, ell_blocks=2)
+    b = _rand(rng, (k, n))
+    got = spmm_ell(e, b, out_dtype=jnp.float32, block_rows_cap=2)
+    want = np.asarray(ell_to_dense(e), np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("bn", [128, 256, 384])
 def test_spmm_ell_explicit_block_n(rng, bn):
     """Tuned full-width B-slab override (block_n): same result as the
