@@ -58,11 +58,42 @@ def dump(path, obj):
     print(f"  -> wrote {path}", flush=True)
 
 
+FUSED_SHAPES = ("12544x64x64x32", "12544x256x64x32", "12544x64x147x32",
+                "12544x64x576x32")
+
+
+def phase_smoke_pack():
+    """On-device correctness for the pack_rank fused formulation before
+    timing it (lane-packed rolls are exactly what interpret mode cannot
+    vouch for on Mosaic)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparsifyme_tpu.ops.prune import prune_nm
+    from sparsifyme_tpu.ops.sparse24 import compress_24, prune_compress_24
+
+    key = jax.random.PRNGKey(11)
+    for (m, k) in ((196, 147), (512, 64), (256, 576)):
+        a = jax.random.normal(key, (2, m, k), jnp.bfloat16)
+        sref = jax.jit(lambda x: compress_24(prune_nm(x, 2, 4)[0]))(a)
+        s = jax.jit(lambda x: prune_compress_24(
+            x, pad128=False, pack_rank=True))(a)
+        for name, got, want in (("v0", s.values0, sref.values0),
+                                ("v1", s.values1, sref.values1),
+                                ("codes", s.codes, sref.codes)):
+            if not np.array_equal(np.asarray(got), np.asarray(want)):
+                raise RuntimeError(f"pack_rank mismatch {m}x{k} {name}")
+        print(f"  pack_rank {m}x{k}: bit-identical", flush=True)
+    return {}
+
+
 def phase_retune():
     from sparsifyme_tpu.bench import tune
 
     tune.main(["--ops", "ell", "--fresh", "--iters", "8", "--reps", "3",
                "--shapes", ",".join(SHAPES)])
+    tune.main(["--ops", "fused", "--fresh", "--iters", "6", "--reps",
+               "3", "--shapes", ",".join(FUSED_SHAPES)])
     from experiments.sanitize_table import flagged_entries
     from sparsifyme_tpu.bench.tuning import (TABLE_PATH, load_table,
                                              save_table)
@@ -122,6 +153,7 @@ def phase_sweep():
 
 
 PHASES = [
+    ("smoke_pack", phase_smoke_pack),
     ("retune", phase_retune),
     ("sweep", phase_sweep),
 ]

@@ -277,7 +277,8 @@ def bench_shape(
                     x, rank_mxu=fe.get("rank_mxu", False),
                     block_rows=fe.get("block_rows"),
                     block_k=fe.get("block_k"),
-                    pad128=fe.get("pad128", True)),
+                    pad128=fe.get("pad128", True),
+                    pack_rank=fe.get("pack_rank", False)),
                 (a,), 0, sol_fused, iters_=max(4, iters // 2),
                 reps_=reps,
             )]

@@ -259,6 +259,11 @@ def check_r4_variants(tol=2e-2):
     _equal("[fused r4] block_rows=512",
            (s4.values0, s4.values1, s4.codes.astype(jnp.int32)),
            (sref.values0, sref.values1, sref.codes.astype(jnp.int32)))
+    s4 = jax.jit(lambda x: prune_compress_24(
+        x, pad128=False, pack_rank=True))(a4)
+    _equal("[fused r4] k=147 pack_rank",
+           (s4.values0, s4.values1, s4.codes.astype(jnp.int32)),
+           (sref.values0, sref.values1, sref.codes.astype(jnp.int32)))
 
 
 def check_coo(m, k, n, batch, sparsity=0.7, tol=2e-2):

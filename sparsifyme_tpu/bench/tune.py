@@ -199,6 +199,13 @@ def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
             cands.append(base)
             if kp64 % 128:
                 cands.append(dict(base, pad128=False))
+                if not rm:
+                    # Lane-packed ranking: sub-128 chunks fold f rows
+                    # into one full vreg for the roll ranking (the
+                    # VPU-lane fix for the k=64 family at 0.33-0.41 of
+                    # the fused floor).
+                    cands.append(dict(base, pad128=False,
+                                      pack_rank=True))
             if rows * k <= (1 << 23):
                 # Small problems: per-grid-step fixed cost dominates —
                 # try one grid step over all rows.
@@ -209,7 +216,7 @@ def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
             ms = _time(
                 lambda x, _c=cand: prune_compress_24(x, **_c),
                 (a,), 0, iters, reps,
-                floor_ms=fused_sol_ms(m, k, b))
+                floor_ms=fused_sol_ms(m, k, b) * 0.5)
             print(f"    fused {cand}: {ms:.3f} ms", flush=True)
             if ms < best_ms:
                 best, best_ms = dict(cand), ms

@@ -485,7 +485,7 @@ def _fused_kernel_v3(x_ref, v0_ref, v1_ref, codes_ref, *, bk: int):
 
 
 def _fused_kernel_v2(x_ref, v0_ref, v1_ref, codes_ref, *, bk: int,
-                     use_key: bool):
+                     use_key: bool, pack_rank: bool = False):
     """Fused prune+compress v2: row-major dense tile [bm, bk] in,
     k-major compact planes [bk//4, bm] out, with NO in-kernel f32
     transpose and O(32) bf16 MACs/element compaction.
@@ -524,14 +524,32 @@ def _fused_kernel_v2(x_ref, v0_ref, v1_ref, codes_ref, *, bk: int,
         w = min(128, bk - off)
         x = x_full[:, off:off + w]
         pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % 4
-        if use_key:
-            key = _rank_key_i32(x, pos)
-            keep32 = jnp.where(
-                _beat_count_key(key, pos, 4, lane_roll) < 2, 1, 0)
-            m0, m1 = _slot_masks_from_keep(keep32, pos, lane_roll)
+        f = (128 // w if (pack_rank and w < 128 and 128 % w == 0
+                          and x.shape[0] % max(1, 128 // w) == 0)
+             else 1)
+        if f > 1:
+            # Lane-pack f consecutive rows into one 128-lane vector for
+            # the RANKING only: every roll/select in the 2:4 ranking is
+            # 4-periodic in lanes (a roll-by-s value is selected only at
+            # positions p % 4 >= s, whose sources sit in the same
+            # 4-group), so nothing leaks across the packed w-lane
+            # boundaries — the dead half-width VPU lanes do real work.
+            # The masks reshape back for the w-wide compaction dots.
+            xr = x.reshape(x.shape[0] // f, f * w)
+            posr = jax.lax.broadcasted_iota(jnp.int32, xr.shape, 1) % 4
         else:
-            m0, m1 = _rank_masks_24(jnp.abs(x).astype(jnp.float32), pos,
-                                    lane_roll)
+            xr, posr = x, pos
+        if use_key:
+            key = _rank_key_i32(xr, posr)
+            keep32 = jnp.where(
+                _beat_count_key(key, posr, 4, lane_roll) < 2, 1, 0)
+            m0, m1 = _slot_masks_from_keep(keep32, posr, lane_roll)
+        else:
+            m0, m1 = _rank_masks_24(jnp.abs(xr).astype(jnp.float32),
+                                    posr, lane_roll)
+        if f > 1:
+            m0 = m0.reshape(x.shape)
+            m1 = m1.reshape(x.shape)
         xm0 = (x * m0.astype(x.dtype)).astype(mm_dtype)
         xm1 = (x * m1.astype(x.dtype)).astype(mm_dtype)
         code_src = (pos * (4 * m0 + m1)).astype(mm_dtype)
@@ -554,7 +572,8 @@ def _fused_kernel_v2(x_ref, v0_ref, v1_ref, codes_ref, *, bk: int,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "kmajor",
                                               "block_rows", "block_k",
-                                              "rank_mxu", "pad128"))
+                                              "rank_mxu", "pad128",
+                                              "pack_rank"))
 def prune_compress_24_pallas(
     w: jax.Array,
     interpret: Optional[bool] = None,
@@ -563,6 +582,7 @@ def prune_compress_24_pallas(
     block_k: Optional[int] = None,
     rank_mxu: bool = False,
     pad128: bool = True,
+    pack_rank: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused prune+compress: row-major dense ``w [..., m, k]`` ->
     k-major planes ``(v0, v1, codes) [k4, M]`` in ONE kernel pass.
@@ -666,7 +686,8 @@ def prune_compress_24_pallas(
             kernel = functools.partial(_fused_kernel_v3, bk=bk)
         else:
             kernel = functools.partial(_fused_kernel_v2, bk=bk,
-                                       use_key=_key_dtype_ok(w.dtype))
+                                       use_key=_key_dtype_ok(w.dtype),
+                                       pack_rank=pack_rank)
     else:
         pspec = pl.BlockSpec((bm, bk // 4), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)

@@ -112,11 +112,13 @@ def compress_24(w: jax.Array) -> Sparse24:
 
 
 @functools.partial(jax.jit, static_argnames=("rank_mxu", "block_rows",
-                                             "block_k", "pad128"))
+                                             "block_k", "pad128",
+                                             "pack_rank"))
 def prune_compress_24(w: jax.Array, rank_mxu: bool = False,
                       block_rows: "Optional[int]" = None,
                       block_k: "Optional[int]" = None,
-                      pad128: bool = True) -> Sparse24:
+                      pad128: bool = True,
+                      pack_rank: bool = False) -> Sparse24:
     """Fused prune+compress: dense ``w`` -> :class:`Sparse24` in one
     kernel pass (one HBM read of the dense weights, compact writes).
 
@@ -140,7 +142,7 @@ def prune_compress_24(w: jax.Array, rank_mxu: bool = False,
         w2 = w.reshape(-1, k)
         v0, v1, codes = prune_compress_24_pallas(
             w2, rank_mxu=rank_mxu, block_rows=block_rows,
-            block_k=block_k, pad128=pad128)
+            block_k=block_k, pad128=pad128, pack_rank=pack_rank)
         return Sparse24(values0=v0, values1=v1, codes=codes, shape=w.shape)
     # XLA path: compress_24 already selects top-2 per group from dense.
     return compress_24(w)

@@ -167,6 +167,25 @@ def test_fused_lane_pad_in_kernel(rng, rows, k, pad128):
     assert np.array_equal(np.asarray(want.codes), np.asarray(codes))
 
 
+@pytest.mark.parametrize("rows,k", [(64, 64), (128, 147), (64, 192)])
+def test_fused_pack_rank_bit_identical(rng, rows, k):
+    """Lane-packed ranking (sub-128 chunks folded to full vregs): the
+    2:4 rolls are 4-periodic so packing f consecutive rows into 128
+    lanes never leaks across rows — planes stay bit-identical to the
+    two-phase oracle."""
+    from sparsifyme_tpu.ops.kernels.prune_kernel import (
+        prune_compress_24_pallas)
+
+    w = jnp.asarray(rng.normal(size=(rows, k)), jnp.bfloat16)
+    pw, _ = prune_nm(w, 2, 4)
+    want = compress_24(pw)
+    v0, v1, codes = prune_compress_24_pallas(w, pad128=False,
+                                             pack_rank=True)
+    assert np.array_equal(np.asarray(want.values0), np.asarray(v0))
+    assert np.array_equal(np.asarray(want.values1), np.asarray(v1))
+    assert np.array_equal(np.asarray(want.codes), np.asarray(codes))
+
+
 def test_fused_block_overrides(rng):
     """block_rows / block_k tuning knobs reach the kernel."""
     from sparsifyme_tpu.ops.kernels.prune_kernel import (
