@@ -278,7 +278,8 @@ def bench_shape(
                     block_rows=fe.get("block_rows"),
                     block_k=fe.get("block_k"),
                     pad128=fe.get("pad128", True),
-                    pack_rank=fe.get("pack_rank", False)),
+                    pack_rank=fe.get("pack_rank", False),
+                    fold_rows=fe.get("fold_rows", False)),
                 (a,), 0, sol_fused, iters_=max(4, iters // 2),
                 reps_=reps,
             )]

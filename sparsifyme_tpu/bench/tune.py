@@ -199,13 +199,14 @@ def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
             cands.append(base)
             if kp64 % 128:
                 cands.append(dict(base, pad128=False))
-                if not rm:
-                    # Lane-packed ranking: sub-128 chunks fold f rows
-                    # into one full vreg for the roll ranking (the
-                    # VPU-lane fix for the k=64 family at 0.33-0.41 of
-                    # the fused floor).
-                    cands.append(dict(base, pad128=False,
-                                      pack_rank=True))
+            if k == 64 and (b * m) % 2 == 0:
+                # Row-fold: [rows, 64] -> [rows/2, 128] outside the
+                # kernel so rolls AND rank dots run at full vreg/MXU
+                # width (the k=64 family sat at 0.33-0.41 of the fused
+                # floor on half-width lanes; the in-kernel reshape
+                # variant does not lower — Mosaic "unsupported shape
+                # cast").
+                cands.append(dict(base, fold_rows=True))
             if rows * k <= (1 << 23):
                 # Small problems: per-grid-step fixed cost dominates —
                 # try one grid step over all rows.

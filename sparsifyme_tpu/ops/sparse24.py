@@ -111,14 +111,25 @@ def compress_24(w: jax.Array) -> Sparse24:
     )
 
 
+def _unfold_planes(p: jax.Array, f: int, k4: int, rows: int) -> jax.Array:
+    """Inverse of the row-fold for compact planes: the folded kernel
+    emits [f*k4, rows/f] where plane-row g < k4 belongs to original row
+    f*j and g >= k4 to row f*j+1 (row-major fold); un-interleave to the
+    standard [k4, rows] layout. Compact-size transpose (1.125 B/elem of
+    the ORIGINAL dense input across all three planes), not dense-size."""
+    return p.reshape(f, k4, rows // f).transpose(1, 2, 0).reshape(
+        k4, rows)
+
+
 @functools.partial(jax.jit, static_argnames=("rank_mxu", "block_rows",
                                              "block_k", "pad128",
-                                             "pack_rank"))
+                                             "pack_rank", "fold_rows"))
 def prune_compress_24(w: jax.Array, rank_mxu: bool = False,
                       block_rows: "Optional[int]" = None,
                       block_k: "Optional[int]" = None,
                       pad128: bool = True,
-                      pack_rank: bool = False) -> Sparse24:
+                      pack_rank: bool = False,
+                      fold_rows: bool = False) -> Sparse24:
     """Fused prune+compress: dense ``w`` -> :class:`Sparse24` in one
     kernel pass (one HBM read of the dense weights, compact writes).
 
@@ -140,6 +151,24 @@ def prune_compress_24(w: jax.Array, rank_mxu: bool = False,
         from .kernels.prune_kernel import prune_compress_24_pallas
 
         w2 = w.reshape(-1, k)
+        rows = w2.shape[0]
+        if fold_rows and k == 64 and rows % 2 == 0:
+            # Row-fold for narrow k: [rows, 64] -> [rows/2, 128] is a
+            # free XLA reshape (row-major), groups of 4 stay intact,
+            # and the kernel's lane rolls/dots run at FULL vreg/MXU
+            # width instead of half (the in-kernel sublane->lane
+            # reshape Mosaic rejects: "unsupported shape cast"). Costs
+            # one compact-size plane un-interleave afterwards.
+            wf = w2.reshape(rows // 2, 128)
+            v0, v1, codes = prune_compress_24_pallas(
+                wf, rank_mxu=rank_mxu, block_rows=block_rows,
+                block_k=block_k, pad128=True)
+            k4 = k // 4
+            return Sparse24(
+                values0=_unfold_planes(v0, 2, k4, rows),
+                values1=_unfold_planes(v1, 2, k4, rows),
+                codes=_unfold_planes(codes, 2, k4, rows),
+                shape=w.shape)
         v0, v1, codes = prune_compress_24_pallas(
             w2, rank_mxu=rank_mxu, block_rows=block_rows,
             block_k=block_k, pad128=pad128, pack_rank=pack_rank)

@@ -167,6 +167,30 @@ def test_fused_lane_pad_in_kernel(rng, rows, k, pad128):
     assert np.array_equal(np.asarray(want.codes), np.asarray(codes))
 
 
+@pytest.mark.parametrize("rank_mxu", [False, True])
+def test_fused_fold_rows_bit_identical(rng, rank_mxu):
+    """Row-fold for k=64 ([rows, 64] -> [rows/2, 128] outside the
+    kernel + compact-plane un-interleave): bit-identical to the
+    two-phase oracle. Groups of 4 stay intact across the fold and the
+    un-interleave restores the [k//4, rows] plane layout exactly."""
+    from sparsifyme_tpu.ops.kernels.prune_kernel import (
+        prune_compress_24_pallas)
+    from sparsifyme_tpu.ops.sparse24 import _unfold_planes
+
+    rows, k = 128, 64
+    w = jnp.asarray(rng.normal(size=(rows, k)), jnp.bfloat16)
+    pw, _ = prune_nm(w, 2, 4)
+    want = compress_24(pw)
+    wf = w.reshape(rows // 2, 128)
+    v0, v1, codes = prune_compress_24_pallas(wf, rank_mxu=rank_mxu)
+    v0 = _unfold_planes(v0, 2, k // 4, rows)
+    v1 = _unfold_planes(v1, 2, k // 4, rows)
+    codes = _unfold_planes(codes, 2, k // 4, rows)
+    assert np.array_equal(np.asarray(want.values0), np.asarray(v0))
+    assert np.array_equal(np.asarray(want.values1), np.asarray(v1))
+    assert np.array_equal(np.asarray(want.codes), np.asarray(codes))
+
+
 @pytest.mark.parametrize("rows,k", [(64, 64), (128, 147), (64, 192)])
 def test_fused_pack_rank_bit_identical(rng, rows, k):
     """Lane-packed ranking (sub-128 chunks folded to full vregs): the
