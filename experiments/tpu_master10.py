@@ -179,7 +179,7 @@ def main(argv=None) -> int:
         _mark(name, secs=round(time.time() - t0, 1), **info)
         print(f"[done] {name} in {time.time() - t0:.0f}s "
               f"(total {time.time() - t00:.0f}s)", flush=True)
-    banner("master9 complete")
+    banner("master10 complete")
     return 0
 
 
