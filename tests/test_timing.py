@@ -103,3 +103,28 @@ def test_time_kernel_pair_ratio():
     assert t.ratio == t.ratio  # not NaN on CPU
     assert t.ratio > 0
     assert t.ratio_spread >= 1.0
+
+
+def test_min_delta_env_override(monkeypatch):
+    """SPARSIFYME_MIN_DELTA_S overrides the calibrated delta floor (the
+    knob for trading sweep time against relay-jitter immunity)."""
+    from sparsifyme_tpu.utils import timing
+
+    monkeypatch.setattr(timing, "_min_delta_cache", None)
+    monkeypatch.setenv("SPARSIFYME_MIN_DELTA_S", "0.123")
+    try:
+        assert timing.min_delta_s() == 0.123
+    finally:
+        timing._min_delta_cache = None  # do not poison other tests
+
+
+def test_min_delta_cpu_default():
+    """On the CPU backend the floor stays at the fast 8 ms default —
+    test wall time must not inherit the accelerator calibration."""
+    from sparsifyme_tpu.utils import timing
+
+    timing._min_delta_cache = None
+    try:
+        assert timing.min_delta_s() == timing._MIN_DELTA_S
+    finally:
+        timing._min_delta_cache = None
