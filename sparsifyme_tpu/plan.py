@@ -133,7 +133,8 @@ class SpmmaPlan:
 
         matmul = _mk_matmul(block_m, block_n, block_k4, pipeline, packed,
                             row_chunks, budget_mb)
-        if block_m or block_n or block_k4 or packed:
+        if (block_m or block_n or block_k4 or packed or row_chunks > 1
+                or budget_mb):
             # Table entries were raced under the winner's own output
             # layout (often C^T); this plan applies them with row-major
             # C. Validate the tiling in THIS layout via abstract eval
@@ -154,9 +155,12 @@ class SpmmaPlan:
             except Exception:
                 block_m = block_n = block_k4 = None
                 pipeline, packed = True, False
+                row_chunks, budget_mb = 1, None
                 matmul = _mk_matmul(None, None, None, True, False)
         self.algorithm = (block_m, block_n, block_k4, False, pipeline,
                           packed)
+        self._packed = packed
+        self._operand_packed = None
         self._matmul = jax.jit(matmul)
         # Fused pipeline: prune+compress collapse into ONE kernel
         # pass (ops.sparse24.prune_compress_24 — same selection
@@ -187,10 +191,35 @@ class SpmmaPlan:
     # -- operand caching (metadata reuse across batch, configs[3]) ------
     def set_operand(self, s: Sparse24) -> None:
         self._operand = s
+        # Packed-codes winners: pre-pack ONCE here (split-half nibble
+        # pack), so repeated matmul_cached calls skip the per-call
+        # pack_codes_fp pass the inline spmm_24 path would pay — the
+        # cost structure the bench harness measures (ADVICE r4).
+        if self._packed:
+            from .ops.sparse24 import pack_codes_fp
+
+            self._operand_packed = jax.jit(pack_codes_fp)(s.codes)
+        else:
+            self._operand_packed = None
 
     def matmul_cached(self, b: jax.Array) -> jax.Array:
         if self._operand is None:
             raise ValueError("no cached operand; call set_operand() first")
+        if self._operand_packed is not None:
+            from .ops.kernels.spmm24_kernel import spmm24_pallas_fp
+
+            s = self._operand
+            *lead, m, k = s.shape
+            tout = bool(self.algorithm[3]) if len(self.algorithm) > 3 \
+                else False
+            out = spmm24_pallas_fp(
+                s.values0, s.values1, self._operand_packed, b,
+                k_logical=k, out_dtype=jnp.dtype(self.config.out_dtype),
+                packed_codes=True, transpose_out=tout,
+            )
+            if tout:
+                return out
+            return out.reshape(*lead, m, out.shape[-1])
         return self._matmul(self._operand, b)
 
     # -- alg search (cusparseLtMatmulSearch analog) ----------------------
@@ -254,6 +283,9 @@ class SpmmaPlan:
         pipe = best[4] if len(best) > 4 else False
         packed = best[5] if len(best) > 5 else False
         self.algorithm = best
+        self._packed = packed
+        if self._operand is not None:
+            self.set_operand(self._operand)  # refresh the pre-pack
         self._matmul = jax.jit(
             functools.partial(
                 spmm_24, out_dtype=jnp.dtype(cfg.out_dtype),

@@ -149,9 +149,10 @@ def min_delta_s() -> float:
     deltas 2-5x below a kernel's HBM speed of light this way — an
     ~12 ms shortfall on a ~15 ms delta — so the 8 ms floor that round 3
     used sits INSIDE the jitter amplitude. Here the floor is raised to
-    dwarf the observed empty-sync spread (>= 40 ms on accelerators);
-    CPU runs (tests, interpret mode) keep the fast 8 ms floor, where
-    wall clocks have no network leg.
+    dwarf the observed empty-sync spread: 4x the trimmed spread,
+    clamped to [60 ms, 150 ms] on accelerators. CPU runs (tests,
+    interpret mode) keep the fast 8 ms floor, where wall clocks have no
+    network leg. ``SPARSIFYME_MIN_DELTA_S`` (seconds, float) overrides.
     """
     global _min_delta_cache
     if _min_delta_cache is None:
@@ -161,7 +162,12 @@ def min_delta_s() -> float:
 
         env = os.environ.get("SPARSIFYME_MIN_DELTA_S")
         if env:
-            _min_delta_cache = float(env)
+            try:
+                _min_delta_cache = float(env)
+            except ValueError:
+                raise ValueError(
+                    "SPARSIFYME_MIN_DELTA_S must be a float number of "
+                    f"seconds (e.g. '0.06'), got {env!r}") from None
         elif jax.default_backend() == "cpu":
             _min_delta_cache = _MIN_DELTA_S
         else:

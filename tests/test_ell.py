@@ -293,3 +293,122 @@ def test_spmm_ell_n64_fullwidth_blocks(rng):
         out_dtype=jnp.float32))
     np.testing.assert_allclose(got.reshape(want.shape), want,
                                rtol=2e-2, atol=2e-2)
+
+
+def test_spmm_ell_conflicting_formulations_raise(rng):
+    """gather_db and accum_dots are mutually exclusive (ADVICE r4: the
+    db kernel silently dropped accum_dots)."""
+    import pytest
+
+    from sparsifyme_tpu.ops.ell import ell_from_dense, spmm_ell
+
+    w = _rand(rng, (16, 32))
+    e = ell_from_dense(w, block_size=8, ell_blocks=2)
+    b = _rand(rng, (32, 8))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        spmm_ell(e, b, accum_dots=True, gather_db=True)
+
+
+# ---------------------------------------------------------------------------
+# Custom VJP (round 5): jax.grad through spmm_ell matches the dense-
+# oracle gradient (VERDICT r4 item 6 — the winning sparse path must be
+# trainable).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("tr", [False, True])
+def test_spmm_ell_grad_matches_oracle(rng, tr):
+    import jax
+
+    from sparsifyme_tpu.ops.ell import ell_to_dense, spmm_ell
+
+    m, k, n, bs, ell = 32, 64, 24, 8, 4
+    w = _rand(rng, (m, k))
+    e = ell_from_dense(w, block_size=bs, ell_blocks=ell)
+    b = _rand(rng, (k, n))
+    t = _rand(rng, (n, m) if tr else (m, n))  # cotangent seed
+
+    def loss_kernel(values, bm):
+        e2 = BlockedEll(values=values, col_indices=e.col_indices,
+                        shape=e.shape, block_size=e.block_size,
+                        block_k=e.block_k)
+        out = spmm_ell(e2, bm, out_dtype=jnp.float32, transpose_out=tr)
+        return jnp.sum(out * t)
+
+    def loss_oracle(values, bm):
+        e2 = BlockedEll(values=values, col_indices=e.col_indices,
+                        shape=e.shape, block_size=e.block_size,
+                        block_k=e.block_k)
+        a = ell_to_dense(e2)
+        out = (a @ bm).astype(jnp.float32)
+        if tr:
+            out = out.T
+        return jnp.sum(out * t)
+
+    gv_k, gb_k = jax.grad(loss_kernel, argnums=(0, 1))(e.values, b)
+    gv_o, gb_o = jax.grad(loss_oracle, argnums=(0, 1))(e.values, b)
+    np.testing.assert_allclose(np.asarray(gv_k), np.asarray(gv_o),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb_k), np.asarray(gb_o),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_ell_grad_batched(rng):
+    import jax
+
+    from sparsifyme_tpu.ops.ell import ell_to_dense, spmm_ell
+
+    bsz, m, k, n, bs, ell = 3, 16, 64, 8, 8, 4
+    w = _rand(rng, (bsz, m, k))
+    e = ell_from_dense(w, block_size=bs, ell_blocks=ell)
+    b = _rand(rng, (k, n))
+
+    def loss_kernel(values, bm):
+        e2 = BlockedEll(values=values, col_indices=e.col_indices,
+                        shape=e.shape, block_size=e.block_size,
+                        block_k=e.block_k)
+        return jnp.sum(spmm_ell(e2, bm, out_dtype=jnp.float32) ** 2)
+
+    def loss_oracle(values, bm):
+        e2 = BlockedEll(values=values, col_indices=e.col_indices,
+                        shape=e.shape, block_size=e.block_size,
+                        block_k=e.block_k)
+        out = jnp.einsum("bmk,kn->bmn", ell_to_dense(e2), bm)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    gv_k, gb_k = jax.grad(loss_kernel, argnums=(0, 1))(e.values, b)
+    gv_o, gb_o = jax.grad(loss_oracle, argnums=(0, 1))(e.values, b)
+    np.testing.assert_allclose(np.asarray(gv_k), np.asarray(gv_o),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb_k), np.asarray(gb_o),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ell_training_step_reduces_loss(rng):
+    """A tiny ELL-linear regression trained through jax.grad + the
+    Pallas kernel: loss must drop (the spmm_ell training story)."""
+    import jax
+
+    m, k, n, bs, ell = 16, 32, 8, 8, 2
+    w = _rand(rng, (m, k))
+    e = ell_from_dense(w, block_size=bs, ell_blocks=ell)
+    x = _rand(rng, (k, n))
+    y = _rand(rng, (m, n))
+
+    from sparsifyme_tpu.ops.ell import spmm_ell
+
+    def loss(values):
+        e2 = BlockedEll(values=values, col_indices=e.col_indices,
+                        shape=e.shape, block_size=e.block_size,
+                        block_k=e.block_k)
+        pred = spmm_ell(e2, x, out_dtype=jnp.float32)
+        return jnp.mean((pred - y) ** 2)
+
+    step = jax.jit(jax.value_and_grad(loss))
+    v = e.values
+    l0, g = step(v)
+    for _ in range(5):
+        l, g = step(v)
+        v = v - 0.05 * g.astype(v.dtype)
+    l1, _ = step(v)
+    assert float(l1) < float(l0) * 0.9, (float(l0), float(l1))

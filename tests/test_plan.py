@@ -91,3 +91,55 @@ def test_matmul_search_pins_algorithm():
     if alg[-1]:  # C^T winner
         got = got.T
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_plan_row_chunks_only_table_entry(rng, monkeypatch):
+    """A table entry setting only row_chunks/budget_mb (all block_* None,
+    packed False) must still pass the eval_shape feasibility guard — the
+    exact candidate shape the tuner emits (ADVICE r4 medium). An
+    infeasible row_chunks must fall back to the heuristic instead of
+    raising at the first matmul call."""
+    import sparsifyme_tpu.bench.tuning as tuning
+
+    # Infeasible: row_chunks=3 cannot split any 128-multiple m-tile.
+    monkeypatch.setattr(
+        tuning, "lookup",
+        lambda m, n, k, b=1: {"spmm24": {"pipeline": True,
+                                         "row_chunks": 3}},
+    )
+    cfg = SpmmaConfig(m=32, n=16, k=64, dtype="float32",
+                      out_dtype="float32")
+    plan = SpmmaPlan(cfg)
+    a = _rand(rng, (32, 64))
+    b = _rand(rng, (64, 16))
+    pruned = plan.prune(a)
+    s = plan.compress(pruned)
+    c = plan.matmul(s, b)  # must not raise
+    want = np.asarray(pruned, np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(np.asarray(c), want, rtol=1e-4, atol=1e-4)
+
+
+def test_plan_packed_operand_prepacked(rng, monkeypatch):
+    """When the tuned algorithm is packed-codes, set_operand pre-packs
+    once and matmul_cached consumes the pre-packed plane (no per-call
+    pack — ADVICE r4); results match the unpacked path."""
+    import sparsifyme_tpu.bench.tuning as tuning
+
+    monkeypatch.setattr(
+        tuning, "lookup",
+        lambda m, n, k, b=1: {"spmm24": {"pipeline": True,
+                                         "packed": True}},
+    )
+    cfg = SpmmaConfig(m=32, n=16, k=64, dtype="float32",
+                      out_dtype="float32")
+    plan = SpmmaPlan(cfg)
+    assert plan._packed
+    a = _rand(rng, (32, 64))
+    b = _rand(rng, (64, 16))
+    pruned = plan.prune(a)
+    s = plan.compress(pruned)
+    plan.set_operand(s)
+    assert plan._operand_packed is not None
+    c = plan.matmul_cached(b)
+    want = np.asarray(pruned, np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(np.asarray(c), want, rtol=1e-4, atol=1e-4)

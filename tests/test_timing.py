@@ -128,3 +128,17 @@ def test_min_delta_cpu_default():
         assert timing.min_delta_s() == timing._MIN_DELTA_S
     finally:
         timing._min_delta_cache = None
+
+
+def test_min_delta_env_bad_value(monkeypatch):
+    """A non-numeric SPARSIFYME_MIN_DELTA_S gives a clear error, not an
+    opaque float() crash in every timed path (ADVICE r4)."""
+    from sparsifyme_tpu.utils import timing
+
+    monkeypatch.setattr(timing, "_min_delta_cache", None)
+    monkeypatch.setenv("SPARSIFYME_MIN_DELTA_S", "fast")
+    try:
+        with pytest.raises(ValueError, match="SPARSIFYME_MIN_DELTA_S"):
+            timing.min_delta_s()
+    finally:
+        timing._min_delta_cache = None
