@@ -66,3 +66,37 @@ def test_build_ell_operand_fold_shapes():
     e2, _ = build_ell_operand(a, block_size=128, block_k=64,
                               fold_first=False)
     assert e2.shape == (2, 128, 256)
+
+
+def test_plot_artifacts(tmp_path):
+    """The reference's harnesses end in comparison plots
+    (profiling.py:46-56, gemm_coo_compare.py:63-81); ours must render
+    from the committed artifacts' schemas."""
+    import json
+
+    from sparsifyme_tpu.bench.plots import (plot_compare,
+                                            plot_coo_crossover,
+                                            plot_speedup)
+
+    csv_path = tmp_path / "r.csv"
+    csv_path.write_text(
+        "layer,m,n,k,b,gemm_ms,prune_ms,ell_ms,spmm24_ms,"
+        "ell_speedup,spmm24_speedup,sol_speedup,gemm24_pair_ms,"
+        "ell_sol_ms\n"
+        "0,128,64,64,2,1.0,0.5,0.4,0.6,2.5,1.6,1.2,1.0,0.3\n"
+        "1,256,64,64,2,2.0,0.5,0.8,1.2,2.4,1.7,1.1,2.0,0.7\n"
+    )
+    out1 = plot_compare(str(csv_path), str(tmp_path / "c.png"))
+    out2 = plot_speedup(str(csv_path), str(tmp_path / "s.png"))
+    cfg2 = tmp_path / "config2.json"
+    cfg2.write_text(json.dumps({
+        "rows": [
+            {"m": 128, "n": 64, "k": 64, "b": 2, "sparsity": s,
+             "speedup_vs_dense": v}
+            for s, v in [(0.5, 0.01), (0.9, 0.1), (0.99, 1.5)]
+        ]
+    }))
+    out3 = plot_coo_crossover(str(cfg2), str(tmp_path / "x.png"))
+    import os
+    for p in (out1, out2, out3):
+        assert os.path.exists(p) and os.path.getsize(p) > 1000
