@@ -413,13 +413,14 @@ def bench_shape(
         # default n-tiling)
         db_t = bool(te.get("gather_db", False))
         cap_t = te.get("block_rows_cap")
+        bud_t = te.get("budget_mb")
         for form, tr, acc_ in forms:
             if form == "gather":
                 cands.append((
                     lambda ee, y, _tr=tr, _a=acc_: spmm_ell(
                         ee, y, out_dtype=dtype, transpose_out=_tr,
                         block_n=bn_t, accum_dots=_a, gather_db=db_t,
-                        block_rows_cap=cap_t),
+                        block_rows_cap=cap_t, vmem_budget_mb=bud_t),
                     (e, bp), 1,
                 ))
             else:
@@ -435,7 +436,8 @@ def bench_shape(
                 cands.append((
                     lambda v, y, c, _tr=tr: ell_expand_spmm_pallas(
                         v, c, y, block_size=bs, block_k=bkb,
-                        out_dtype=dtype, transpose_out=_tr),
+                        out_dtype=dtype, transpose_out=_tr,
+                        vmem_budget_mb=bud_t),
                     (vkm, bp, cols), 1,
                 ))
         if len(cands) > 1:

@@ -112,7 +112,7 @@ import functools
 _EllCfg = collections.namedtuple(
     "_EllCfg",
     "block_size block_k out_dtype block_n interpret transpose_out "
-    "accum_dots gather_db block_rows_cap",
+    "accum_dots gather_db block_rows_cap vmem_budget_mb",
 )
 
 
@@ -138,6 +138,7 @@ def _spmm_ell_core(cfg: "_EllCfg", values, cols, b):
         accum_dots=cfg.accum_dots,
         gather_db=cfg.gather_db,
         block_rows_cap=cfg.block_rows_cap,
+        vmem_budget_mb=cfg.vmem_budget_mb,
     )
 
 
@@ -206,6 +207,7 @@ def spmm_ell(
     accum_dots: bool = False,
     gather_db: bool = False,
     block_rows_cap: "Optional[int]" = None,
+    vmem_budget_mb: "Optional[int]" = None,
 ) -> jax.Array:
     """Batched Blocked-ELL SpMM: ``ell_to_dense(e) @ b`` with zero blocks
     skipped on the MXU. ``transpose_out`` returns C^T ``[n, M]`` (batch
@@ -260,6 +262,7 @@ def spmm_ell(
         accum_dots=accum_dots,
         gather_db=gather_db,
         block_rows_cap=block_rows_cap,
+        vmem_budget_mb=vmem_budget_mb,
     )
     out = _spmm_ell_core(cfg, values, cols, b)
     if transpose_out:
@@ -285,6 +288,7 @@ def spmm_ell_expand(
     interpret: Optional[bool] = None,
     transpose_out: bool = False,
     values_km: Optional[jax.Array] = None,
+    vmem_budget_mb: Optional[int] = None,
 ) -> jax.Array:
     """Expand-in-VMEM Blocked-ELL SpMM — the small-k formulation.
 
@@ -320,6 +324,7 @@ def spmm_ell_expand(
         block_n=block_n,
         interpret=interpret,
         transpose_out=transpose_out,
+        vmem_budget_mb=vmem_budget_mb,
     )
     if transpose_out:
         return out

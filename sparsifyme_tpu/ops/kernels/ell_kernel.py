@@ -183,7 +183,8 @@ def _kernel_db(col_ref, val_ref, b_ref, out_ref, bg_ref, sem_ref, *,
     jax.jit,
     static_argnames=("block_size", "block_k", "out_dtype", "block_n",
                      "interpret", "transpose_out", "accum_dots",
-                     "gather_db", "static_gather", "block_rows_cap"),
+                     "gather_db", "static_gather", "block_rows_cap",
+                     "vmem_budget_mb"),
 )
 def ell_spmm_pallas(
     values: jax.Array,       # [M, ell_blocks * bkb] (batch folded in rows)
@@ -200,6 +201,7 @@ def ell_spmm_pallas(
     gather_db: bool = False,
     static_gather: bool = False,
     block_rows_cap: Optional[int] = None,
+    vmem_budget_mb: Optional[int] = None,
 ) -> jax.Array:
     """C[M, n] = BlockedEll(values, col_indices) @ b (batch-folded);
     ``transpose_out`` emits C^T [n, M] (column-major convention, no
@@ -259,7 +261,13 @@ def ell_spmm_pallas(
     vbytes = values.dtype.itemsize
     obytes = jnp.dtype(out_dtype).itemsize
     out_cols = min(bn, np_)  # per-step out lane width (row-major path)
-    vmem_free = 12 * 1024 * 1024 - kp * bn * b.dtype.itemsize
+    # The 12 MB default dates from the first Mosaic bring-up; the chip
+    # has 128 MB of VMEM and spmm24 already exposes the budget as a
+    # tuning knob (vmem_budget_mb) — exposed here too so the tuner can
+    # trade fatter mblk/fewer steps against pipeline slack per shape
+    # (VERDICT r4 item 2).
+    vmem_free = ((vmem_budget_mb or 12) * 1024 * 1024
+                 - kp * bn * b.dtype.itemsize)
     if gather_db:
         # Ping-pong gathered-slab scratch lives in VMEM too.
         vmem_free -= 2 * ellk * bn * b.dtype.itemsize
@@ -406,7 +414,8 @@ def _kernel_expand(col_ref, val_ref, b_ref, out_ref, af_ref, *,
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "block_k", "out_dtype",
-                     "block_n", "interpret", "transpose_out"),
+                     "block_n", "interpret", "transpose_out",
+                     "vmem_budget_mb"),
 )
 def ell_expand_spmm_pallas(
     values_km: jax.Array,    # [ell_blocks * bkb, M] — k-major, batch folded
@@ -419,6 +428,7 @@ def ell_expand_spmm_pallas(
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
     transpose_out: bool = False,
+    vmem_budget_mb: Optional[int] = None,
 ) -> jax.Array:
     """Expand-in-VMEM Blocked-ELL SpMM for *small-k* layers.
 
@@ -459,7 +469,8 @@ def ell_expand_spmm_pallas(
 
     vbytes = values_km.dtype.itemsize
     obytes = jnp.dtype(out_dtype).itemsize
-    vmem_free = 12 * 1024 * 1024 - kp * bn * b.dtype.itemsize
+    vmem_free = ((vmem_budget_mb or 12) * 1024 * 1024
+                 - kp * bn * b.dtype.itemsize)
     per_row = (2 * bs * ellk * vbytes + 2 * bs * bn * obytes
                + bs * kp * vbytes)  # values + out tiles + af scratch
     mblk_cap = max(1, vmem_free // max(1, per_row))

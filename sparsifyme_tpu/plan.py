@@ -238,7 +238,11 @@ class SpmmaPlan:
         use it. A candidate is ``(block_m, block_n, block_k4,
         transpose_out[, pipeline])``; ``None`` entries defer to the
         shape heuristic, ``pipeline`` selects the fully-pipelined
-        kernel formulation. Returns the winning candidate (the
+        kernel formulation; optional 7th/8th slots are ``row_chunks``
+        (m-axis MXU/VPU interleave granularity) and ``budget_mb``
+        (kernel VMEM budget) — the same knobs the bench tuning table
+        expresses, so plans built on untuned shapes search the
+        harness-quality space. Returns the winning candidate (the
         `alg_id` analog).
         """
         cfg = self.config
@@ -251,6 +255,11 @@ class SpmmaPlan:
                 (512, None, None, False),
                 (1024, None, None, True),
                 (2048, None, None, True),
+                # row_chunks / budget_mb variants (the tuning-table
+                # knobs; VERDICT r4 item 9):
+                (None, None, None, True, True, False, 2),
+                (None, None, None, True, True, False, 4),
+                (None, None, None, True, True, False, 1, 24),
             )
             if cfg.k <= 1024:
                 # Packed codes (6th tuple slot): single-k-step shapes
@@ -264,10 +273,13 @@ class SpmmaPlan:
             bm_, bn_, bk4_, tout = cand[:4]
             pipe = cand[4] if len(cand) > 4 else False
             packed = cand[5] if len(cand) > 5 else False
+            rc = cand[6] if len(cand) > 6 else 1
+            bud = cand[7] if len(cand) > 7 else None
             fn = functools.partial(
                 spmm_24, out_dtype=jnp.dtype(cfg.out_dtype),
                 block_m=bm_, block_n=bn_, block_k4=bk4_,
                 transpose_out=tout, pipeline=pipe, packed_codes=packed,
+                row_chunks=rc, budget_mb=bud,
             )
             try:
                 t = time_kernel(fn, (s, b), carrier=1, iters=iters,
@@ -282,6 +294,8 @@ class SpmmaPlan:
         bm_, bn_, bk4_, tout = best[:4]
         pipe = best[4] if len(best) > 4 else False
         packed = best[5] if len(best) > 5 else False
+        rc = best[6] if len(best) > 6 else 1
+        bud = best[7] if len(best) > 7 else None
         self.algorithm = best
         self._packed = packed
         if self._operand is not None:
@@ -291,6 +305,7 @@ class SpmmaPlan:
                 spmm_24, out_dtype=jnp.dtype(cfg.out_dtype),
                 block_m=bm_, block_n=bn_, block_k4=bk4_,
                 transpose_out=tout, pipeline=pipe, packed_codes=packed,
+                row_chunks=rc, budget_mb=bud,
             )
         )
         self._fused = jax.jit(
