@@ -337,6 +337,7 @@ def bench_shape(
                     transpose_out=e24.get("transpose_out", False),
                     pipeline=e24.get("pipeline", False),
                     row_chunks=e24.get("row_chunks", 1),
+                    k_chunks=e24.get("k_chunks", 1),
                     budget_mb=e24.get("budget_mb"),
                 )]
             else:

@@ -76,12 +76,22 @@ class Sparse24:
                ``0 <= i0 < i1 < 4`` (6 valid codes). 0.25 B per logical
                element vs 2 B for dense bf16.
       shape:   the logical (unpadded) dense shape, incl. batch dims.
+      fold:    row-fold factor of the plane layout (static). ``fold=f``
+               means planes are ``[f*k4, M/f]``: plane row ``h*k4 + g``
+               of folded column ``j`` holds group ``g`` of original row
+               ``f*j + h`` — the layout the fused prune+compress kernel
+               emits for narrow-k layers (full-vreg ranking on the free
+               ``[rows, k] -> [rows/f, f*k]`` reshape) and the folded
+               SpMM kernel consumes directly, so no un-interleave
+               transpose is ever paid. ``fold=1`` is the standard
+               layout.
     """
 
     values0: jax.Array
     values1: jax.Array
     codes: jax.Array
     shape: Tuple[int, ...] = static_field(default=())
+    fold: int = static_field(default=1)
 
     @property
     def dtype(self):
@@ -89,7 +99,7 @@ class Sparse24:
 
     @property
     def k4(self) -> int:
-        return self.values0.shape[-2]
+        return self.values0.shape[-2] // self.fold
 
     @property
     def nnz(self) -> int:

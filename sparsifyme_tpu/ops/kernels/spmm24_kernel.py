@@ -245,7 +245,7 @@ def _pick_tiles(m, n, k4, dtype_bytes=2, vmem_budget=10 * 1024 * 1024):
 # ---------------------------------------------------------------------------
 
 
-def _expand_q_into(write, v0, v1, codes):
+def _expand_q_into(write, v0, v1, codes, quarters=(0, 1, 2, 3)):
     """Write the four quarter-major slabs of the expanded A^T tile.
 
     Compact-domain selects (no `pltpu.repeat`): each quarter slab
@@ -273,10 +273,14 @@ def _expand_q_into(write, v0, v1, codes):
     i0 = ci >> 2
     i1 = ci & 3
     zero = jnp.zeros((), v0.dtype)
-    write(0, jnp.where(i0 == 0, v0, zero))
-    write(1, jnp.where(i0 == 1, v0, jnp.where(i1 == 1, v1, zero)))
-    write(2, jnp.where(i0 == 2, v0, jnp.where(i1 == 2, v1, zero)))
-    write(3, jnp.where(i1 == 3, v1, zero))
+    exprs = {
+        0: lambda: jnp.where(i0 == 0, v0, zero),
+        1: lambda: jnp.where(i0 == 1, v0, jnp.where(i1 == 1, v1, zero)),
+        2: lambda: jnp.where(i0 == 2, v0, jnp.where(i1 == 2, v1, zero)),
+        3: lambda: jnp.where(i1 == 3, v1, zero),
+    }
+    for q in quarters:
+        write(q, exprs[q]())
 
 
 def _unpack_codes_tile(cp: jax.Array) -> jax.Array:
@@ -297,6 +301,7 @@ def _kernel_fp(v0_ref, v1_ref, codes_ref, b_ref, *rest,
                T: int, n_k: int, bk4: int, bm: int, tout: bool,
                alpha: float = 1.0, beta: float = 0.0,
                packed: bool = False, row_chunks: int = 1,
+               k_chunks: int = 1,
                probe: "Optional[str]" = None):
     """Software-pipelined body over the flattened (m-tile, k-tile) grid.
 
@@ -339,8 +344,7 @@ def _kernel_fp(v0_ref, v1_ref, codes_ref, b_ref, *rest,
                 jnp.float32)
         out_ref[oidx(cs)] = part.astype(out_ref.dtype)
 
-    def dot_from(af_ref, cs=slice(None)):
-        part = _dot_ct(af_ref[:, cs], b_ref[...], tout)
+    def finish_part(part, cs=slice(None)):
         if n_k == 1:
             epilogue(part, cs)
         else:
@@ -358,13 +362,66 @@ def _kernel_fp(v0_ref, v1_ref, codes_ref, b_ref, *rest,
             def _store():
                 epilogue(acc_ref[oidx(cs)], cs)
 
-    def expand_into(af_ref, cs=slice(None)):
+    def dot_from(af_ref, cs=slice(None)):
+        finish_part(_dot_ct(af_ref[:, cs], b_ref[...], tout), cs)
+
+    def expand_into(af_ref, cs=slice(None), quarters=(0, 1, 2, 3)):
         def write(q, val):
             af_ref[q * bk4:(q + 1) * bk4, cs] = val
 
         codes = (_unpack_codes_tile(codes_ref[:, cs]) if packed
                  else codes_ref[:, cs])
-        _expand_q_into(write, v0_ref[:, cs], v1_ref[:, cs], codes)
+        _expand_q_into(write, v0_ref[:, cs], v1_ref[:, cs], codes,
+                       quarters)
+
+    if k_chunks > 1:
+        # Quarter-axis MXU/VPU interleave (the round-5 overlap
+        # candidate): the overlap probe proved the whole-slab halves
+        # serialize (full ~= 0.9 * (expand_only + dot_only),
+        # results/overlap_probe_r4.json), so the interior step is
+        # restructured as k_chunks independent (partial-dot,
+        # partial-expand) pairs along the QUARTER axis — dot chunk c
+        # contracts rows [c*csz, (c+1)*csz) of the PREVIOUS slab against
+        # the matching (quarter-major contiguous) B rows while the VPU
+        # expands the same quarters of the CURRENT tile. Each pair
+        # touches disjoint buffers and alternates MXU/VPU issue in
+        # program order — finer-grained material for the scheduler than
+        # the all-dot-then-all-expand form. Costs k_chunks-1 extra f32
+        # adds of the out tile per step.
+        qper = 4 // k_chunks
+        csz = qper * bk4
+
+        def chunk_rows(c):
+            return slice(c * csz, (c + 1) * csz)
+
+        for p, af_dot, af_exp in ((1, af0_ref, af1_ref),
+                                  (0, af1_ref, af0_ref)):
+            @pl.when((t > 0) & (t < T) & (parity == p))
+            def _mid(af_dot=af_dot, af_exp=af_exp):
+                part = None
+                for c in range(k_chunks):
+                    if do_dot:
+                        d = _dot_ct(af_dot[chunk_rows(c), :],
+                                    b_ref[chunk_rows(c), :], tout)
+                        part = d if part is None else part + d
+                    if do_expand:
+                        expand_into(
+                            af_exp,
+                            quarters=tuple(range(c * qper,
+                                                 (c + 1) * qper)))
+                if do_dot:
+                    finish_part(part)
+
+        @pl.when(t == 0)
+        def _first_k():
+            if do_expand:
+                expand_into(af0_ref)
+
+        @pl.when(t == T)
+        def _last_k():
+            if do_dot:
+                dot_from(af1_ref if T % 2 == 0 else af0_ref)
+        return
 
     if row_chunks > 1:
         bmc = bm // row_chunks
@@ -450,8 +507,8 @@ def _pick_tiles_fp(m, n, k4, tout, vmem_budget=12 * 1024 * 1024):
     jax.jit,
     static_argnames=("k_logical", "out_dtype", "block_m", "block_k4",
                      "interpret", "transpose_out", "alpha", "beta",
-                     "packed_codes", "row_chunks", "vmem_budget_mb",
-                     "probe"),
+                     "packed_codes", "row_chunks", "k_chunks",
+                     "vmem_budget_mb", "probe"),
 )
 def spmm24_pallas_fp(
     v0: jax.Array,
@@ -470,6 +527,7 @@ def spmm24_pallas_fp(
     beta: float = 0.0,
     packed_codes: bool = False,
     row_chunks: int = 1,
+    k_chunks: int = 1,
     vmem_budget_mb: Optional[int] = None,
     probe: Optional[str] = None,
 ) -> jax.Array:
@@ -495,10 +553,15 @@ def spmm24_pallas_fp(
         vmem_budget=(vmem_budget_mb or 12) * 1024 * 1024)
     bm = block_m or abm
     bk4 = block_k4 or abk4
+    if k_chunks > 1 and row_chunks > 1:
+        raise ValueError("k_chunks and row_chunks are mutually "
+                         "exclusive interleave granularities")
     if row_chunks > 1 and (bm % row_chunks or
                            (bm // row_chunks) % 128):
         raise ValueError(f"row_chunks {row_chunks} must split the "
                          f"m-tile {bm} into 128-multiples")
+    if k_chunks not in (1, 2, 4):
+        raise ValueError(f"k_chunks {k_chunks} must be 1, 2 or 4")
 
     mp = _round_up(m, bm)
     np_ = _round_up(n, bnp)
@@ -601,7 +664,7 @@ def spmm24_pallas_fp(
         functools.partial(_kernel_fp, T=T, n_k=n_k, bk4=bk4, bm=bm,
                           tout=transpose_out, alpha=alpha, beta=beta,
                           packed=packed_codes, row_chunks=row_chunks,
-                          probe=probe),
+                          k_chunks=k_chunks, probe=probe),
         grid=(T + 1,),
         in_specs=in_specs,
         out_specs=out_spec,
@@ -777,3 +840,209 @@ def spmm24_pallas(
     if transpose_out:
         return out[:n, :m]
     return out[:m, :n]
+
+
+# ---------------------------------------------------------------------------
+# Folded-plane kernel (round 5): consume planes in the f=2 row-folded
+# layout the fused prune+compress kernel emits for narrow-k layers —
+# no un-interleave transpose is ever paid (NEXT.md r4 item 2).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_fp_fold(v0_ref, v1_ref, codes_ref, b_ref, out_ref,
+                    af0e_ref, af0o_ref, af1e_ref, af1o_ref, *,
+                    T: int, bk4: int, tout_n: int):
+    """Pipelined folded-plane body: single k-step, fold = 2.
+
+    Plane blocks are ``[2*bk4, bm]``: rows ``[0, bk4)`` hold the groups
+    of EVEN original rows (original row ``2j`` lives in folded lane
+    ``j``), rows ``[bk4, 2*bk4)`` the odd rows — exactly what the fused
+    kernel produces from the free ``[rows, k] -> [rows/2, 2k]``
+    row-major reshape. Each interior step runs TWO independent
+    (dot, expand) pairs — even and odd halves — alternating MXU and VPU
+    issue in program order against ping-pong slab pairs; the out tile
+    is ``[bm, 2*n]`` with the even product in lanes ``[0, n)`` and the
+    odd in ``[n, 2n)``, so the caller's ``[mp/2, 2n] -> [mp, n]``
+    reshape (free, row-major) restores row order.
+
+    A side benefit on n < 128 layers: the ``2n``-wide out tile needs no
+    128-lane padding at n = 64, halving C write traffic without the
+    C^T layout.
+    """
+    t = pl.program_id(0)
+    parity = jax.lax.rem(t, 2)
+    np_ = tout_n
+
+    def expand_half(af_ref, h):
+        def write(q, val):
+            af_ref[q * bk4:(q + 1) * bk4, :] = val
+
+        _expand_q_into(
+            write,
+            v0_ref[h * bk4:(h + 1) * bk4, :],
+            v1_ref[h * bk4:(h + 1) * bk4, :],
+            codes_ref[h * bk4:(h + 1) * bk4, :],
+        )
+
+    def dot_half(af_ref, h):
+        part = jax.lax.dot_general(
+            af_ref[...], b_ref[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[:, h * np_:(h + 1) * np_] = part.astype(out_ref.dtype)
+
+    for p, (de, do), (ee, eo) in (
+            (1, (af0e_ref, af0o_ref), (af1e_ref, af1o_ref)),
+            (0, (af1e_ref, af1o_ref), (af0e_ref, af0o_ref))):
+        @pl.when((t > 0) & (t < T) & (parity == p))
+        def _mid(de=de, do=do, ee=ee, eo=eo):
+            # Interleaved program order: even dot / even expand /
+            # odd dot / odd expand — four mutually independent units of
+            # work per step.
+            dot_half(de, 0)
+            expand_half(ee, 0)
+            dot_half(do, 1)
+            expand_half(eo, 1)
+
+    @pl.when(t == 0)
+    def _first():
+        expand_half(af0e_ref, 0)
+        expand_half(af0o_ref, 1)
+
+    @pl.when(t == T)
+    def _last():
+        de, do = ((af1e_ref, af1o_ref) if T % 2 == 0
+                  else (af0e_ref, af0o_ref))
+        dot_half(de, 0)
+        dot_half(do, 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_logical", "out_dtype", "block_m", "interpret",
+                     "vmem_budget_mb"),
+)
+def spmm24_fold_pallas(
+    v0: jax.Array,       # [2*k4, Mf]  (fold = 2, Mf = M/2)
+    v1: jax.Array,
+    codes: jax.Array,
+    b: jax.Array,        # [k, n]
+    *,
+    k_logical: int,
+    out_dtype=jnp.bfloat16,
+    block_m: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    vmem_budget_mb: Optional[int] = None,
+) -> jax.Array:
+    """``C[M, n] = decompress24_folded(v0, v1, codes) @ b`` for planes in
+    the f=2 row-folded layout.
+
+    The fused prune+compress kernel for narrow k (k <= ~147) ranks at
+    full vreg width only on the folded ``[rows/2, 2k]`` view; round 4
+    proved the un-interleave back to standard planes costs more than
+    the full-lane win (1.45 ms vs 0.40 on 12544x64, NEXT.md item 2).
+    This kernel consumes the folded planes directly — the transpose is
+    never paid anywhere in the pipeline. Single k-step only (folded
+    use lives at k <= 1024); row-major C (the [Mf, 2n] -> [M, n]
+    un-fold is a free reshape; C^T would make it a real transpose).
+    Matches the matmul phase contract of `spmma.hxx:112-113`.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    fk4, mf = v0.shape
+    if fk4 % 2:
+        raise ValueError(f"folded planes need even row count, got {fk4}")
+    k4 = fk4 // 2
+    if k_logical > 4 * k4:
+        raise ValueError(f"k_logical {k_logical} > 4*k4 {4 * k4}")
+    if k4 > 256:
+        raise ValueError(
+            f"fold=2 requires a single k-step (k4 {k4} <= 256)")
+    bk4 = k4  # one k-tile per half by construction (k4 multiple of 16)
+    k_pad_in, n = b.shape
+    np_ = _round_up(n, 64)  # out lane width is 2*np_ (>= 128)
+
+    budget = (vmem_budget_mb or 12) * 1024 * 1024
+    prefs = tuple(_bm_exact(mf, 2048)) + (
+        2048, 1536, 1024, 768, 512, 384, 256, 128)
+    abm = 128
+    for bm_c in prefs:
+        if bm_c > _round_up(mf, 128):
+            continue
+        need = (
+            2 * (5 * fk4 * bm_c)            # planes, double-buffered
+            + 2 * (4 * bk4 * np_ * 2)       # B (single tile)
+            + 2 * (bm_c * 2 * np_ * 2)      # out
+            + 4 * (4 * bk4 * bm_c * 2)      # 4 af slabs
+        )
+        if need <= budget:
+            abm = bm_c
+            break
+    bm = block_m or abm
+
+    mp = _round_up(mf, bm)
+    kp = 4 * bk4
+    if mp != mf:
+        pad = mp - mf
+        v0 = jnp.pad(v0, ((0, 0), (0, pad)))
+        v1 = jnp.pad(v1, ((0, 0), (0, pad)))
+        codes = jnp.pad(codes, ((0, 0), (0, pad)), constant_values=1)
+    if kp != k_pad_in or np_ != n:
+        b = jnp.pad(b, ((0, kp - k_pad_in), (0, np_ - n)))
+
+    # Quarter-major permutation of the single B k-tile (row 4g+q ->
+    # q*bk4+g) — same contraction the unfolded pipelined kernel uses.
+    b = b.reshape(bk4, 4, np_).swapaxes(0, 1).reshape(kp, np_)
+
+    T = mp // bm
+
+    def planes_im(t):
+        return (0, jnp.minimum(t, T - 1))
+
+    def out_im(t):
+        return (jnp.maximum(t - 1, 0), 0)
+
+    in_specs = [
+        pl.BlockSpec((fk4, bm), planes_im, memory_space=pltpu.VMEM),
+        pl.BlockSpec((fk4, bm), planes_im, memory_space=pltpu.VMEM),
+        pl.BlockSpec((fk4, bm), planes_im, memory_space=pltpu.VMEM),
+        pl.BlockSpec((kp, np_), lambda t: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((bm, 2 * np_), out_im,
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((mp, 2 * np_), out_dtype)
+
+    m_total = 2 * mf
+    flops = 2 * m_total * k_logical * n
+    bytes_accessed = (
+        v0.size * v0.dtype.itemsize * 2
+        + codes.size
+        + b.size * b.dtype.itemsize
+        + m_total * n * jnp.dtype(out_dtype).itemsize
+    )
+    scratch = [pltpu.VMEM((4 * bk4, bm), v0.dtype) for _ in range(4)]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_fp_fold, T=T, bk4=bk4, tout_n=np_),
+        grid=(T + 1,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(v0, v1, codes, b)
+    # Un-fold: [mp, 2*np_] -> rows (2j, 2j+1) interleave — free reshape
+    # when np_ == n, else slice each half first.
+    outm = out[:mf]
+    if np_ != n:
+        outm = jnp.concatenate(
+            [outm[:, :n], outm[:, np_:np_ + n]], axis=1)
+    return outm.reshape(2 * mf, n)

@@ -123,13 +123,15 @@ def _unfold_planes(p: jax.Array, f: int, k4: int, rows: int) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("rank_mxu", "block_rows",
                                              "block_k", "pad128",
-                                             "pack_rank", "fold_rows"))
+                                             "pack_rank", "fold_rows",
+                                             "fold"))
 def prune_compress_24(w: jax.Array, rank_mxu: bool = False,
                       block_rows: "Optional[int]" = None,
                       block_k: "Optional[int]" = None,
                       pad128: bool = True,
                       pack_rank: bool = False,
-                      fold_rows: bool = False) -> Sparse24:
+                      fold_rows: bool = False,
+                      fold: int = 1) -> Sparse24:
     """Fused prune+compress: dense ``w`` -> :class:`Sparse24` in one
     kernel pass (one HBM read of the dense weights, compact writes).
 
@@ -147,6 +149,35 @@ def prune_compress_24(w: jax.Array, rank_mxu: bool = False,
     tuning-table knobs).
     """
     *lead, m, k = w.shape
+    if fold > 1:
+        # END-TO-END folded layout (round 5, NEXT.md item 2's surviving
+        # option): rank/compress on the free row-major
+        # ``[rows, kp] -> [rows/f, f*kp]`` reshape — full-vreg lane
+        # width for narrow k — and KEEP the planes folded
+        # (``[f*k4, rows/f]``, Sparse24.fold = f). No un-interleave is
+        # paid here, and `spmm24_fold_pallas` contracts the folded
+        # planes directly. Selection is unchanged: kp is a multiple of
+        # 64, so groups of 4 never straddle the fold seam.
+        if fold != 2:
+            raise ValueError(f"fold {fold} unsupported (use 2)")
+        w2 = w.reshape(-1, k)
+        rows = w2.shape[0]
+        if rows % fold:
+            raise ValueError(f"rows {rows} % fold {fold} != 0")
+        kp = -(-k // 64) * 64  # compress_24's k padding quantum
+        wp = _pad_to_multiple(w2, -1, 64) if kp != k else w2
+        wf = wp.reshape(rows // fold, fold * kp)
+        if jax.default_backend() == "tpu":
+            from .kernels.prune_kernel import prune_compress_24_pallas
+
+            v0, v1, codes = prune_compress_24_pallas(
+                wf, rank_mxu=rank_mxu, block_rows=block_rows,
+                block_k=block_k, pad128=pad128)
+        else:
+            sc = compress_24(wf)
+            v0, v1, codes = sc.values0, sc.values1, sc.codes
+        return Sparse24(values0=v0, values1=v1, codes=codes,
+                        shape=w.shape, fold=fold)
     if jax.default_backend() == "tpu":
         from .kernels.prune_kernel import prune_compress_24_pallas
 
@@ -186,7 +217,19 @@ def decompress_24(s: Sparse24) -> jax.Array:
     sublane-repeated 4x and masked where the repeated group row's
     in-group position matches the code — no gathers, no trailing-4
     reshapes. One transpose at the end returns the row-major dense.
+    Folded-layout operands (``s.fold > 1``) are un-folded first
+    (compact-size un-interleave) — the oracle path, not the hot one.
     """
+    if s.fold > 1:
+        f = s.fold
+        fk4, mf = s.values0.shape
+        k4u, rows = fk4 // f, mf * f
+        s = Sparse24(
+            values0=_unfold_planes(s.values0, f, k4u, rows),
+            values1=_unfold_planes(s.values1, f, k4u, rows),
+            codes=_unfold_planes(s.codes, f, k4u, rows),
+            shape=s.shape,
+        )
     k4, m = s.values0.shape
     codes = s.codes.astype(jnp.int32)
     i0 = codes >> 2
@@ -218,7 +261,7 @@ import collections
 _Cfg = collections.namedtuple(
     "_Cfg",
     "k_logical out_dtype block_m block_n block_k4 interpret transpose_out "
-    "pipeline packed row_chunks budget_mb",
+    "pipeline packed row_chunks k_chunks budget_mb",
 )
 
 
@@ -249,6 +292,7 @@ def _spmm24_core(cfg: "_Cfg", v0, v1, codes, b):
             transpose_out=cfg.transpose_out,
             packed_codes=cfg.packed,
             row_chunks=cfg.row_chunks,
+            k_chunks=cfg.k_chunks,
             vmem_budget_mb=cfg.budget_mb,
         )
     return spmm24_pallas(
@@ -336,6 +380,7 @@ def spmm_24(
     pipeline: bool = False,
     packed_codes: bool = False,
     row_chunks: int = 1,
+    k_chunks: int = 1,
     budget_mb: "Optional[int]" = None,
 ) -> jax.Array:
     """Structured-sparse matmul ``decompress(s) @ b`` on the MXU.
@@ -371,6 +416,34 @@ def spmm_24(
         # Honest relayout: one XLA transpose of the dense operand (the
         # reference's opB flag is a cuSPARSE layout flag, `spmm.hxx:35`).
         b = jnp.swapaxes(b, -1, -2)
+    if s.fold > 1:
+        # Folded-plane operand: route to the dedicated single-k-step
+        # kernel (no un-interleave anywhere in the pipeline). Row-major
+        # C only (the un-fold is a free reshape there; C^T would make
+        # it a transpose), and no VJP — train with fold=1 operands.
+        from .kernels.spmm24_kernel import spmm24_fold_pallas
+
+        if transpose_out:
+            raise NotImplementedError(
+                "transpose_out is unsupported for folded operands "
+                "(the [Mf, 2n] -> [M, n] un-fold is only free in "
+                "row-major C)")
+        *lead, m, k = s.shape
+        out = spmm24_fold_pallas(
+            s.values0, s.values1, s.codes, b,
+            k_logical=k,
+            out_dtype=out_dtype or jnp.promote_types(s.dtype, b.dtype),
+            block_m=block_m,
+            interpret=interpret,
+            vmem_budget_mb=budget_mb,
+        )
+        if alpha != 1.0 or beta != 0.0:
+            out32 = out.astype(jnp.float32) * alpha
+            if c is not None and beta != 0.0:
+                out32 = out32 + beta * c.astype(jnp.float32).reshape(
+                    -1, c.shape[-1])
+            out = out32.astype(out.dtype)
+        return out.reshape(*lead, m, out.shape[-1])
     *lead, m, k = s.shape
     # Planes are k-major batch-folded [k4, M]; the kernel consumes them
     # directly and the output [M, n] splits back along its leading dim
@@ -389,6 +462,7 @@ def spmm_24(
         pipeline=pipeline,
         packed=packed_codes,
         row_chunks=row_chunks,
+        k_chunks=k_chunks,
         budget_mb=budget_mb,
     )
     out = _spmm24_core(cfg, s.values0, s.values1, s.codes, b)

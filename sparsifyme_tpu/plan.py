@@ -116,9 +116,11 @@ class SpmmaPlan:
                     block_k4 = e.get("block_k4")
                 pipeline = bool(e.get("pipeline", True))
         row_chunks = int(e.get("row_chunks", 1) or 1)
+        k_chunks = int(e.get("k_chunks", 1) or 1)
         budget_mb = e.get("budget_mb")
 
-        def _mk_matmul(bm_, bn_, bk4_, pipe_, packed_, rc_=1, bud_=None):
+        def _mk_matmul(bm_, bn_, bk4_, pipe_, packed_, rc_=1, kc_=1,
+                       bud_=None):
             return functools.partial(
                 spmm_24,
                 out_dtype=out_dtype,
@@ -128,13 +130,14 @@ class SpmmaPlan:
                 pipeline=pipe_,
                 packed_codes=packed_,
                 row_chunks=rc_,
+                k_chunks=kc_,
                 budget_mb=bud_,
             )
 
         matmul = _mk_matmul(block_m, block_n, block_k4, pipeline, packed,
-                            row_chunks, budget_mb)
+                            row_chunks, k_chunks, budget_mb)
         if (block_m or block_n or block_k4 or packed or row_chunks > 1
-                or budget_mb):
+                or k_chunks > 1 or budget_mb):
             # Table entries were raced under the winner's own output
             # layout (often C^T); this plan applies them with row-major
             # C. Validate the tiling in THIS layout via abstract eval
@@ -155,7 +158,7 @@ class SpmmaPlan:
             except Exception:
                 block_m = block_n = block_k4 = None
                 pipeline, packed = True, False
-                row_chunks, budget_mb = 1, None
+                row_chunks, k_chunks, budget_mb = 1, 1, None
                 matmul = _mk_matmul(None, None, None, True, False)
         self.algorithm = (block_m, block_n, block_k4, False, pipeline,
                           packed)

@@ -382,3 +382,96 @@ def test_spmm24_fp_budget_override(rng):
                   budget_mb=24)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("kcfg", [(256, None), (1024, 64)])  # n_k 1 / >1
+@pytest.mark.parametrize("kc", [2, 4])
+def test_spmm24_fp_k_chunks(rng, kcfg, kc):
+    """Quarter-axis interleaved pipelined kernel (k_chunks > 1, the
+    round-5 overlap candidate): matches the whole-slab path."""
+    k, bk4 = kcfg
+    w = _rand(rng, (256, k), jnp.bfloat16)
+    bm = _rand(rng, (k, 64), jnp.bfloat16)
+    pruned, _ = prune_24(w)
+    s = compress_24(pruned)
+    want = spmm_24(s, bm, out_dtype=jnp.float32, pipeline=True,
+                   block_m=256, block_k4=bk4)
+    got = spmm_24(s, bm, out_dtype=jnp.float32, pipeline=True,
+                  block_m=256, block_k4=bk4, k_chunks=kc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_spmm24_k_chunks_row_chunks_exclusive(rng):
+    w = _rand(rng, (128, 256), jnp.bfloat16)
+    bm = _rand(rng, (256, 64), jnp.bfloat16)
+    pruned, _ = prune_24(w)
+    s = compress_24(pruned)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        spmm_24(s, bm, pipeline=True, row_chunks=2, k_chunks=2)
+
+
+# ---------------------------------------------------------------------------
+# Folded-plane layout (round 5): fused prune+compress emits fold=2
+# planes end-to-end and spmm24_fold_pallas consumes them directly.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mk", [(64, 64), (32, 147), (128, 128)])
+def test_prune_compress_folded_matches_unfolded(rng, mk):
+    """fold=2 planes carry the SAME selection as the standard layout —
+    un-folding them reproduces the fold=1 planes bit-for-bit."""
+    from sparsifyme_tpu.ops.sparse24 import (_unfold_planes,
+                                             prune_compress_24)
+
+    m, k = mk
+    w = _rand(rng, (m, k), jnp.bfloat16)
+    s1 = prune_compress_24(w)
+    s2 = prune_compress_24(w, fold=2)
+    assert s2.fold == 2
+    k4 = s1.values0.shape[0]
+    assert s2.values0.shape == (2 * k4, m // 2)
+    for p1, p2 in ((s1.values0, s2.values0), (s1.values1, s2.values1),
+                   (s1.codes, s2.codes)):
+        np.testing.assert_array_equal(
+            np.asarray(_unfold_planes(p2, 2, k4, m)), np.asarray(p1))
+
+
+@pytest.mark.parametrize("mkn", [(64, 64, 64), (32, 147, 24),
+                                 (128, 256, 96)])
+def test_spmm24_folded_matches_oracle(rng, mkn):
+    """spmm_24 on a folded operand == the dense oracle on the unfolded
+    decompress — no un-interleave anywhere in the pipeline."""
+    from sparsifyme_tpu.ops.sparse24 import prune_compress_24
+
+    m, k, n = mkn
+    w = _rand(rng, (m, k), jnp.bfloat16)
+    bm = _rand(rng, (k, n), jnp.bfloat16)
+    s2 = prune_compress_24(w, fold=2)
+    want = spmm_24_reference(s2, bm, out_dtype=jnp.float32)
+    got = spmm_24(s2, bm, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_spmm24_folded_batched(rng):
+    from sparsifyme_tpu.ops.sparse24 import prune_compress_24
+
+    w = _rand(rng, (4, 32, 64), jnp.bfloat16)
+    bm = _rand(rng, (64, 48), jnp.bfloat16)
+    s2 = prune_compress_24(w, fold=2)
+    want = spmm_24_reference(s2, bm, out_dtype=jnp.float32)
+    got = spmm_24(s2, bm, out_dtype=jnp.float32)
+    assert got.shape == (4, 32, 48)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_spmm24_folded_transpose_out_rejected(rng):
+    from sparsifyme_tpu.ops.sparse24 import prune_compress_24
+
+    w = _rand(rng, (32, 64), jnp.bfloat16)
+    bm = _rand(rng, (64, 16), jnp.bfloat16)
+    s2 = prune_compress_24(w, fold=2)
+    with pytest.raises(NotImplementedError, match="folded"):
+        spmm_24(s2, bm, transpose_out=True)
