@@ -100,3 +100,25 @@ def test_plot_artifacts(tmp_path):
     import os
     for p in (out1, out2, out3):
         assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+
+def test_coo_crossover_interpolation():
+    """config2's crossover locator: log-interpolates the sparsity where
+    COO first beats dense, per comparison protocol (kernel-only vs
+    conversion-inclusive)."""
+    from sparsifyme_tpu.bench.configs import _coo_crossovers
+
+    rows = [
+        {"m": 1, "n": 2, "k": 3, "b": 4, "sparsity": sp,
+         "speedup_vs_dense": ko, "speedup_vs_dense_incl_conv": ic}
+        for sp, ko, ic in [(0.9, 0.5, 0.2), (0.99, 2.0, 0.8),
+                           (0.995, 4.0, 1.6)]
+    ]
+    out = _coo_crossovers(rows)
+    e = out["1x2x3x4"]
+    assert 0.9 < e["speedup_vs_dense"] < 0.99
+    assert 0.99 < e["speedup_vs_dense_incl_conv"] <= 0.995
+    # dense-wins-everywhere -> None
+    rows2 = [dict(r, speedup_vs_dense=0.1,
+                  speedup_vs_dense_incl_conv=0.05) for r in rows]
+    assert _coo_crossovers(rows2)["1x2x3x4"]["speedup_vs_dense"] is None
