@@ -273,6 +273,8 @@ def bench_shape(
         # columns keep the reference's phase-split contract
         # (spmma.hxx:117).
         _mark("fused")
+        import functools
+
         from ..ops.sparse24 import prune_compress_24
 
         # Two ranking formulations (identical selection, different
@@ -288,7 +290,8 @@ def bench_shape(
                     block_k=fe.get("block_k"),
                     pad128=fe.get("pad128", True),
                     pack_rank=fe.get("pack_rank", False),
-                    fold_rows=fe.get("fold_rows", False)),
+                    fold_rows=fe.get("fold_rows", False),
+                    fold=int(fe.get("fold", 1))),
                 (a,), 0, sol_fused, iters_=max(4, iters // 2),
                 reps_=reps,
             )]
@@ -313,7 +316,17 @@ def bench_shape(
         # C^T} x {classic grid, fully-pipelined} — the same search
         # matmul_search runs when building a plan.
         e24 = tuned.get("spmm24", {})
-        if e24.get("packed"):
+        if e24.get("fold"):
+            # Folded-plane winner: the operand is built folded (the
+            # fused fold=2 kernel's output layout) and spmm_24 routes
+            # to spmm24_fold_pallas automatically.
+            sf = jax.jit(functools.partial(
+                prune_compress_24, fold=int(e24["fold"])))(pruned)
+            cands24 = [(
+                lambda ss, y: spmm_24(ss, y, out_dtype=dtype),
+                (sf, bm), 1,
+            )]
+        elif e24.get("packed"):
             # Packed-codes pipelined kernel (direct call; the split-half
             # pack happens at format-build time, outside the loop).
             from ..ops.sparse24 import pack_codes_fp

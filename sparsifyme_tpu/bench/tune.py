@@ -120,6 +120,17 @@ def spmm24_candidates(m: int, n: int, k: int,
         cands.append(dict(block_m=2048, block_n=None, block_k4=None,
                           transpose_out=True, pipeline=True,
                           row_chunks=8))
+        # Round-5 overlap candidates: quarter-axis MXU/VPU interleave
+        # (the overlap probe proved whole-slab expand/dot serialize —
+        # results/overlap_probe_r4.json).
+        for tr in (False, True):
+            for kc in (2, 4):
+                cands.append(dict(block_m=None, block_n=None,
+                                  block_k4=None, transpose_out=tr,
+                                  pipeline=True, k_chunks=kc))
+        cands.append(dict(block_m=None, block_n=None, block_k4=None,
+                          transpose_out=True, pipeline=True,
+                          k_chunks=2, budget_mb=24))
     return tuple(cands)
 
 
@@ -181,6 +192,22 @@ def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
                     best = dict(packed=True, transpose_out=tr,
                                 pipeline=True)
                     best_ms = ms
+        if k <= 1024 and (b * m) % 2 == 0 and full:
+            # Folded-plane kernel (round 5): even/odd interleaved
+            # (dot, expand) pairs per tile + full-width out lanes at
+            # n < 128; consumes the planes the fused fold=2 kernel
+            # emits, so a win here pairs with a fused fold win.
+            from ..ops.sparse24 import prune_compress_24
+
+            sf = jax.jit(
+                lambda x: prune_compress_24(x, fold=2))(a)
+            ms = _time(
+                lambda ss, y: spmm_24(ss, y, out_dtype=dtype),
+                (sf, bm_), 1, iters, reps,
+                floor_ms=spmm24_sol_ms(m, n, k, b))
+            print(f"    spmm24 fold=2: {ms:.3f} ms", flush=True)
+            if ms < best_ms:
+                best, best_ms = dict(fold=2, pipeline=True), ms
         if best is not None:
             best["ms"] = round(best_ms, 5)
             entry["spmm24"] = best
@@ -207,6 +234,12 @@ def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
                 # variant does not lower — Mosaic "unsupported shape
                 # cast").
                 cands.append(dict(base, fold_rows=True))
+            if k <= 160 and (b * m) % 2 == 0:
+                # END-TO-END fold (round 5): same full-width ranking as
+                # fold_rows but the planes STAY folded (no compact
+                # un-interleave — the cost that made fold_rows lose,
+                # NEXT.md item 2); spmm24_fold_pallas consumes them.
+                cands.append(dict(base, fold=2))
             if rows * k <= (1 << 23):
                 # Small problems: per-grid-step fixed cost dominates —
                 # try one grid step over all rows.
@@ -366,6 +399,27 @@ def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
                       flush=True)
                 if ms < best_ms:
                     best = dict(best, block_rows_cap=cap)
+                    best_ms = ms
+            # Round 5: raised VMEM free-budget on the winning config
+            # (the 12 MB default is a bring-up constant on a 128 MB
+            # chip; fatter mblk -> fewer grid steps — the untested
+            # diagnosis for the budget-invariant weak shapes).
+            for bud in (32, 64):
+                ms = _time(
+                    lambda ee, y, _b=bud: spmm_ell(
+                        ee, y, out_dtype=dtype,
+                        transpose_out=best["transpose_out"],
+                        block_n=best.get("block_n"),
+                        accum_dots=best.get("accum_dots", False),
+                        gather_db=best.get("gather_db", False),
+                        block_rows_cap=best.get("block_rows_cap"),
+                        vmem_budget_mb=_b),
+                    (e, bp), 1, iters, reps,
+                    floor_ms=ell_sol_ms(m, n, k, b))
+                print(f"    ell winner+budget={bud}: {ms:.3f} ms",
+                      flush=True)
+                if ms < best_ms:
+                    best = dict(best, budget_mb=bud)
                     best_ms = ms
         if best is not None:
             best["ms"] = round(best_ms, 5)
