@@ -112,3 +112,77 @@ class SparseConv2d:
             padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+
+
+class EllConv2d:
+    """Conv layer with a Blocked-ELL weight; forward = the blocked-ELL
+    gather SpMM — the library's WINNING sparse format (compare.csv's
+    `spmm` column is the reference's blocked-ELL path) as a model layer.
+
+    The weight matrix ``(out_ch, k)`` keeps the top ``ell_blocks``
+    magnitude blocks per block-row (`ops.ell.ell_from_dense`); the
+    forward computes ``spmm_ell(W_ell, patches^T, transpose_out=True)``
+    so the result lands patch-major without an extra transpose.
+    Differentiable end-to-end since round 5 (`ops.ell._spmm_ell_core`'s
+    custom VJP): train with `jax.grad` over ``weight.values``.
+    """
+
+    def __init__(
+        self,
+        w_oihw: jax.Array,
+        *,
+        block_size: int = 128,
+        ell_blocks: Optional[int] = None,
+        block_k: int = 0,
+        stride: int = 1,
+        padding: str = "SAME",
+    ):
+        from ..ops.ell import ell_from_dense
+
+        oc, ic, kh, kw = w_oihw.shape
+        self.kh, self.kw, self.stride, self.padding = (kh, kw, stride,
+                                                       padding)
+        self.out_ch, self.in_ch = oc, ic
+        wm = conv_weight_as_matrix(w_oihw)
+        k = wm.shape[-1]
+        bkb = block_k or block_size
+        if oc % block_size:
+            raise ValueError(
+                f"out_ch {oc} must be a multiple of block_size "
+                f"{block_size}")
+        kp = -(-k // bkb) * bkb
+        if kp != k:
+            wm = jnp.pad(wm, ((0, 0), (0, kp - k)))
+        if ell_blocks is None:
+            ell_blocks = max(1, (kp // bkb) // 2)  # 50% block sparsity
+        self.k_padded = kp
+        self.weight = ell_from_dense(wm, block_size=block_size,
+                                     ell_blocks=ell_blocks,
+                                     block_k=block_k)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """NHWC in -> NHWC out."""
+        from ..ops.ell import spmm_ell
+
+        b, h, w, _ = x.shape
+        patches = im2col(x, self.kh, self.kw, self.stride, self.padding)
+        _, oh, ow, k = patches.shape
+        pt = patches.reshape(b * oh * ow, k)
+        if k != self.k_padded:
+            pt = jnp.pad(pt, ((0, 0), (0, self.k_padded - k)))
+        out = spmm_ell(self.weight, pt.T, transpose_out=True)
+        return out.reshape(b, oh, ow, self.out_ch)
+
+    def dense_reference(self, x: jax.Array) -> jax.Array:
+        """Oracle: the same conv with the block-pruned weight, dense."""
+        from ..ops.ell import ell_to_dense
+
+        wm = ell_to_dense(self.weight)[:, : self.in_ch * self.kh * self.kw]
+        w_oihw = wm.reshape(self.out_ch, self.in_ch, self.kh, self.kw)
+        w_hwio = jnp.transpose(w_oihw, (2, 3, 1, 0))
+        return jax.lax.conv_general_dilated(
+            x, w_hwio,
+            window_strides=(self.stride, self.stride),
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )

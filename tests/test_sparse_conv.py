@@ -40,3 +40,52 @@ def test_im2col_shape_matches_dataset_math(rng):
 def test_weight_matrix_shape():
     w = jnp.zeros((64, 3, 7, 7))
     assert conv_weight_as_matrix(w).shape == (64, 147)
+
+
+def test_ell_conv2d_matches_dense_reference(rng):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparsifyme_tpu.models.sparse_conv import EllConv2d
+
+    w = jnp.asarray(rng.normal(size=(16, 3, 3, 3)), jnp.float32)
+    conv = EllConv2d(w, block_size=8, block_k=8)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)), jnp.float32)
+    got = conv(x)
+    want = conv.dense_reference(x)
+    assert got.shape == want.shape == (2, 8, 8, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_ell_conv2d_trains(rng):
+    """jax.grad through the ELL conv (round-5 VJP) reduces a loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparsifyme_tpu.containers import BlockedEll
+    from sparsifyme_tpu.models.sparse_conv import EllConv2d
+
+    w = jnp.asarray(rng.normal(size=(16, 3, 3, 3)), jnp.float32)
+    conv = EllConv2d(w, block_size=8, block_k=8)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(2, 8, 8, 16)), jnp.float32)
+    e = conv.weight
+
+    def loss(values):
+        conv.weight = BlockedEll(values=values,
+                                 col_indices=e.col_indices,
+                                 shape=e.shape,
+                                 block_size=e.block_size,
+                                 block_k=e.block_k)
+        return jnp.mean((conv(x) - y) ** 2)
+
+    step = jax.jit(jax.value_and_grad(loss))
+    v = e.values
+    l0, _ = step(v)
+    for _ in range(5):
+        _, g = step(v)
+        v = v - 0.1 * g
+    l1, _ = step(v)
+    assert float(l1) < float(l0)
