@@ -167,7 +167,7 @@ def phase_probe24():
                 ms = time_kernel(
                     lambda v0, v1, c, y, _kw=kw: spmm24_pallas_fp(
                         v0, v1, c, y, **base, **_kw),
-                    (s.values0, s.values1, s.codes, bp), 3,
+                    (s.values0, s.values1, s.codes, bp), carrier=3,
                     iters=8, reps=2).ms
             except Exception as exc:
                 print(f"    {tag}: skip ({str(exc)[:100]})", flush=True)

@@ -143,3 +143,26 @@ def test_plan_packed_operand_prepacked(rng, monkeypatch):
     c = plan.matmul_cached(b)
     want = np.asarray(pruned, np.float64) @ np.asarray(b, np.float64)
     np.testing.assert_allclose(np.asarray(c), want, rtol=1e-4, atol=1e-4)
+
+
+def test_matmul_search_extended_tuples(rng):
+    """7/8-slot candidates (row_chunks / budget_mb) search and pin
+    correctly (VERDICT r4 item 9)."""
+    m, k, n = 256, 256, 32
+    plan = SpmmaPlan(SpmmaConfig(m=m, n=n, k=k, out_dtype="float32"))
+    a = _rand(rng, (m, k))
+    b = _rand(rng, (k, n))
+    pruned = plan.prune(a)
+    s = plan.compress(pruned)
+    want = np.asarray(pruned, np.float64) @ np.asarray(b, np.float64)
+    alg = plan.matmul_search(
+        s, b,
+        candidates=(
+            (None, None, None, False, True, False, 2),      # row_chunks
+            (None, None, None, False, True, False, 1, 24),  # budget_mb
+        ),
+        iters=1, reps=1,
+    )
+    assert plan.algorithm == alg
+    got = np.asarray(plan.matmul(s, b))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
