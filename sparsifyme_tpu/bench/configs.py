@@ -410,6 +410,20 @@ def config4_row_partitioned_scaling(quick: bool = False) -> Dict:
                    if jax.default_backend() != "tpu" else None))
     err = float(jnp.max(jnp.abs(got - want)) /
                 (jnp.max(jnp.abs(want)) + 1e-9))
+    # Grid-tiled variant (round 5): same parity check at a row count
+    # several m-tiles deep — the formulation that removes the
+    # whole-working-set VMEM residency cap (ResNet-scale shards).
+    from ..parallel.ring_kernel import spmm_24_ring_tiled_pallas
+
+    mt = 128
+    m_t = mt * pv * 2
+    a_t = jax.random.normal(jax.random.PRNGKey(2), (m_t, k), jnp.float32)
+    s_t = jax.jit(lambda x: compress_24(prune_nm(x, 2, 4)[0]))(a_t)
+    want_t = spmm_24_ring(s_t, bm, mesh, "model", out_dtype=jnp.float32)
+    got_t = spmm_24_ring_tiled_pallas(
+        s_t, bm, mesh, "model", out_dtype=jnp.float32, m_tile=mt)
+    err_t = float(jnp.max(jnp.abs(got_t - want_t)) /
+                  (jnp.max(jnp.abs(want_t)) + 1e-9))
     return {
         "config": 4,
         "backend": jax.default_backend(),
@@ -422,6 +436,14 @@ def config4_row_partitioned_scaling(quick: bool = False) -> Dict:
             "devices": pv,
             "max_rel_err_vs_ppermute": err,
             "race_detection": jax.default_backend() != "tpu",
+        },
+        "tiled_ring": {
+            "kernel": "parallel.ring_kernel.spmm_24_ring_tiled_pallas "
+                      "(m-tiles streamed from HBM; no VMEM-residency "
+                      "cap — VERDICT r4 item 5)",
+            "devices": pv,
+            "m_tiles_per_shard": 2,
+            "max_rel_err_vs_ppermute": err_t,
         },
         "note": "weak scaling (fixed per-device work), ring path at "
                 "every P. Emulation caveats, measured: past the host's "

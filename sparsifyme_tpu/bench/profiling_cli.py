@@ -55,6 +55,9 @@ def main(argv=None) -> int:
     p.add_argument("--timeout", type=float, default=600.0,
                    help="per-driver-invocation timeout (remote compiles on "
                         "a cold cache are slow)")
+    p.add_argument("--plot", default=None, metavar="PNG",
+                   help="also render the grouped-bar comparison chart "
+                        "(the finished profiling.py:46-56 plot)")
     args = p.parse_args(argv)
 
     shapes = read_shapes(args.shapes)
@@ -80,6 +83,12 @@ def main(argv=None) -> int:
         w.writerow(["layer", "m", "n", "k", "b", "gemm", "prune", "spmm"])
         w.writerows(rows)
     print(f"wrote {args.out} ({len(rows)} layers)", file=sys.stderr)
+    if args.plot:
+        from .plots import plot_compare
+
+        plot_compare(args.out, args.plot,
+                     series=("gemm", "prune", "spmm"))
+        print(f"wrote {args.plot}", file=sys.stderr)
     return 0
 
 
