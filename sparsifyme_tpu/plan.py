@@ -168,9 +168,20 @@ class SpmmaPlan:
         # Fused pipeline: prune+compress collapse into ONE kernel
         # pass (ops.sparse24.prune_compress_24 — same selection
         # semantics, ~1/4 the HBM traffic of the two-phase path).
-        self._fused = jax.jit(
-            lambda a, b: self._matmul(prune_compress_24(a), b)
-        )
+        # A folded table winner (spmm24 fold / fused fold) routes the
+        # WHOLE pipeline through the folded layout: the fused kernel
+        # emits fold=f planes and spmm_24 dispatches on the operand's
+        # fold — no un-interleave anywhere (round 5).
+        fold = int(e.get("fold", 1) or 1)
+        if fold > 1 and (cfg.batch * cfg.m) % fold == 0:
+            self._fused = jax.jit(
+                lambda a, b, _f=fold: self._matmul(
+                    prune_compress_24(a, fold=_f), b)
+            )
+        else:
+            self._fused = jax.jit(
+                lambda a, b: self._matmul(prune_compress_24(a), b)
+            )
         self._operand: Optional[Sparse24] = None
         # self.algorithm (set above from config/table) is the alg_id
         # analog; matmul_search overwrites it with a measured winner.

@@ -166,3 +166,24 @@ def test_matmul_search_extended_tuples(rng):
     assert plan.algorithm == alg
     got = np.asarray(plan.matmul(s, b))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_plan_folded_table_winner(rng, monkeypatch):
+    """A fold=2 spmm24 table winner routes the plan's fused pipeline
+    through the folded layout end-to-end (round 5)."""
+    import sparsifyme_tpu.bench.tuning as tuning
+
+    monkeypatch.setattr(
+        tuning, "lookup",
+        lambda m, n, k, b=1: {"spmm24": {"pipeline": True, "fold": 2}},
+    )
+    cfg = SpmmaConfig(m=32, n=16, k=64, dtype="float32",
+                      out_dtype="float32")
+    plan = SpmmaPlan(cfg)
+    a = _rand(rng, (32, 64))
+    b = _rand(rng, (64, 16))
+    out = plan(a, b)
+    pruned = plan.prune(a)
+    want = np.asarray(pruned, np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4,
+                               atol=1e-4)
