@@ -180,6 +180,63 @@ def _spmm_ell_bwd(cfg, res, g):
 _spmm_ell_core.defvjp(_spmm_ell_fwd, _spmm_ell_bwd)
 
 
+_EllExpCfg = collections.namedtuple(
+    "_EllExpCfg",
+    "block_size block_k out_dtype block_n interpret transpose_out "
+    "vmem_budget_mb",
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm_ell_expand_core(cfg: "_EllExpCfg", values_km, cols, b):
+    """Differentiable core over the expand-in-VMEM kernel (k-major
+    folded values ``[ellk, M]``) — the small-k formulation trains too."""
+    from .kernels.ell_kernel import ell_expand_spmm_pallas
+
+    return ell_expand_spmm_pallas(
+        values_km, cols, b,
+        block_size=cfg.block_size,
+        block_k=cfg.block_k,
+        out_dtype=cfg.out_dtype,
+        block_n=cfg.block_n,
+        interpret=cfg.interpret,
+        transpose_out=cfg.transpose_out,
+        vmem_budget_mb=cfg.vmem_budget_mb,
+    )
+
+
+def _spmm_ell_expand_fwd(cfg, values_km, cols, b):
+    return (_spmm_ell_expand_core(cfg, values_km, cols, b),
+            (values_km, cols, b))
+
+
+def _spmm_ell_expand_bwd(cfg, res, g):
+    """Same adjoints as `_spmm_ell_bwd`, transposed for the k-major
+    values layout: ``dvalues_km = pack(g B^T)^T``."""
+    import numpy as np
+
+    values_km, cols, b = res
+    if cfg.transpose_out:
+        g = g.T
+    bs = cfg.block_size
+    e_tmp = BlockedEll(
+        values=values_km.T, col_indices=cols,
+        shape=(values_km.shape[1], b.shape[0]),
+        block_size=bs, block_k=cfg.block_k,
+    )
+    a = ell_to_dense(e_tmp).astype(jnp.float32)       # [M, k]
+    g32 = g.astype(jnp.float32)
+    db = jnp.matmul(a.T, g32, preferred_element_type=jnp.float32)
+    da = jnp.matmul(g32, b.astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32)
+    dvalues = ell_pack(da, cols, bs, cfg.block_k).T   # back to k-major
+    dcols = np.zeros(cols.shape, dtype=jax.dtypes.float0)
+    return (dvalues.astype(values_km.dtype), dcols, db.astype(b.dtype))
+
+
+_spmm_ell_expand_core.defvjp(_spmm_ell_expand_fwd, _spmm_ell_expand_bwd)
+
+
 def _epilogue(out, alpha, beta, c, out_dtype):
     """`alpha*AB + beta*C` tail (reference contract `spmm.hxx:30-36`);
     XLA fuses the elementwise ops into the kernel's consumer."""
@@ -299,7 +356,6 @@ def spmm_ell_expand(
     ``values_km`` (from :func:`ell_values_kmajor`) to keep the layout
     change out of the hot path.
     """
-    from .kernels.ell_kernel import ell_expand_spmm_pallas
     from .kernels.spmm24_kernel import default_interpret
 
     if interpret is None:
@@ -314,10 +370,7 @@ def spmm_ell_expand(
     if values_km is None:
         values_km = ell_values_kmajor(e)
     cols = e.col_indices.reshape(-1, e.col_indices.shape[-1])
-    out = ell_expand_spmm_pallas(
-        values_km,
-        cols,
-        b,
+    cfg = _EllExpCfg(
         block_size=e.block_size,
         block_k=e.block_k,
         out_dtype=out_dtype or jnp.promote_types(e.dtype, b.dtype),
@@ -326,6 +379,7 @@ def spmm_ell_expand(
         transpose_out=transpose_out,
         vmem_budget_mb=vmem_budget_mb,
     )
+    out = _spmm_ell_expand_core(cfg, values_km, cols, b)
     if transpose_out:
         return out
     return out.reshape(*lead, m, out.shape[-1])

@@ -412,3 +412,37 @@ def test_ell_training_step_reduces_loss(rng):
         v = v - 0.05 * g.astype(v.dtype)
     l1, _ = step(v)
     assert float(l1) < float(l0) * 0.9, (float(l0), float(l1))
+
+
+def test_spmm_ell_expand_grad_matches_oracle(rng):
+    """The expand formulation (small-k) is differentiable too."""
+    import jax
+
+    from sparsifyme_tpu.ops.ell import (ell_to_dense, ell_values_kmajor,
+                                        spmm_ell_expand)
+
+    m, k, n, bs, ell = 32, 64, 16, 8, 4
+    w = _rand(rng, (m, k))
+    e = ell_from_dense(w, block_size=bs, ell_blocks=ell)
+    b = _rand(rng, (k, n))
+    t = _rand(rng, (m, n))
+
+    def loss_kernel(values, bm):
+        e2 = BlockedEll(values=values, col_indices=e.col_indices,
+                        shape=e.shape, block_size=e.block_size,
+                        block_k=e.block_k)
+        out = spmm_ell_expand(e2, bm, out_dtype=jnp.float32)
+        return jnp.sum(out * t)
+
+    def loss_oracle(values, bm):
+        e2 = BlockedEll(values=values, col_indices=e.col_indices,
+                        shape=e.shape, block_size=e.block_size,
+                        block_k=e.block_k)
+        return jnp.sum((ell_to_dense(e2) @ bm).astype(jnp.float32) * t)
+
+    gv_k, gb_k = jax.grad(loss_kernel, argnums=(0, 1))(e.values, b)
+    gv_o, gb_o = jax.grad(loss_oracle, argnums=(0, 1))(e.values, b)
+    np.testing.assert_allclose(np.asarray(gv_k), np.asarray(gv_o),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb_k), np.asarray(gb_o),
+                               rtol=1e-4, atol=1e-4)
