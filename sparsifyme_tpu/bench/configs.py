@@ -97,8 +97,14 @@ def config1_spmm24_resnet50(quick: bool = False) -> Dict:
 def _coo_crossovers(rows) -> Dict:
     """Per-shape crossover sparsity: the sparsity at which batched COO
     (kernel only, and conversion-inclusive) first beats dense, linearly
-    interpolated in log-speedup between adjacent sweep points. "None"
-    means dense wins at every measured point (<= 99.5%)."""
+    interpolated in log-speedup between adjacent sweep points. When no
+    crossing is bracketed by the measured points (dense wins everywhere
+    <= 99.5%), an EXTRAPOLATED estimate is reported instead: speedup
+    scales ~1/(1-sparsity) in the nnz-proportional regime, so the last
+    two points fit log(speedup) vs log(1-sp) and solve for speedup = 1
+    (capped at 0.9999; marked `"extrapolated"`)."""
+    import math as _math
+
     out = {}
     by_shape = {}
     for r in rows:
@@ -109,13 +115,12 @@ def _coo_crossovers(rows) -> Dict:
         entry = {}
         for col in ("speedup_vs_dense", "speedup_vs_dense_incl_conv"):
             cross = None
+            extrapolated = False
             for lo, hi in zip(rs, rs[1:]):
                 a, b = lo.get(col), hi.get(col)
                 if a is None or b is None or a != a or b != b:
                     continue
                 if a <= 1.0 < b:
-                    import math as _math
-
                     la, lb = _math.log(max(a, 1e-12)), _math.log(b)
                     frac = (0.0 - la) / (lb - la)
                     cross = (lo["sparsity"]
@@ -123,7 +128,22 @@ def _coo_crossovers(rows) -> Dict:
                     break
             if cross is None and rs and (rs[0].get(col) or 0) > 1.0:
                 cross = rs[0]["sparsity"]  # already winning at 50%
+            if cross is None and len(rs) >= 2:
+                lo, hi = rs[-2], rs[-1]
+                a, b = lo.get(col), hi.get(col)
+                if (a and b and a == a and b == b and 0 < a < b < 1.0
+                        and hi["sparsity"] < 1.0):
+                    # log(speedup) ~ c0 + c1*log(1-sp); solve for 0.
+                    xa = _math.log(1.0 - lo["sparsity"])
+                    xb = _math.log(1.0 - hi["sparsity"])
+                    ya, yb = _math.log(a), _math.log(b)
+                    if yb != ya:
+                        x1 = xb + (0.0 - yb) * (xb - xa) / (yb - ya)
+                        cross = min(1.0 - _math.exp(x1), 0.9999)
+                        extrapolated = True
             entry[col] = round(cross, 4) if cross is not None else None
+            if extrapolated:
+                entry[col + "_extrapolated"] = True
         out["x".join(str(v) for v in key)] = entry
     return out
 
