@@ -277,7 +277,21 @@ def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
             alt = ({64} if k < 512 and k >= 128 else
                    ({128} if k < 1536 else {64}))
         wide = {x for x in (256, 512) if 2 * x <= k}
-        bkbs = sorted({heur} | alt | wide)
+        # Minimal-padding block edge (round 5): the weak-shape common
+        # factor was k-pad waste in the packed values — k=576 at
+        # bkb=128 pads kp to 768 (+33% A bytes), k=147 at bkb=64 pads
+        # to 256 (+73%). Race the LARGEST edge from the extended set
+        # that achieves the minimal padded row length (depth still
+        # feeds the MXU reasonably).
+        cand_edges = [x for x in (16, 24, 32, 48, 64, 96, 128, 192)
+                      if 2 * x <= _round_up(k, 2 * x)]
+        if cand_edges:
+            min_len = min(_round_up(k, 2 * x) // 2 for x in cand_edges)
+            nopad = max(x for x in cand_edges
+                        if _round_up(k, 2 * x) // 2 == min_len)
+        else:
+            nopad = None
+        bkbs = sorted({heur} | alt | wide | ({nopad} if nopad else set()))
         bkbs = [x for x in bkbs if 2 * x <= _round_up(k, 2 * x)]
         # fold_first (see harness.build_ell_operand): strictly less
         # padded work wherever per-sample m is not a 128-multiple but
