@@ -281,6 +281,78 @@ def check_r4_variants(tol=2e-2):
            (sref5.values0, sref5.values1, sref5.codes.astype(jnp.int32)))
 
 
+def check_r5_variants(tol=2e-2):
+    """Round-5 formulations: spmm24 quarter-axis interleave (k_chunks),
+    folded planes end-to-end (Sparse24.fold=2), odd ELL block edges
+    (96/16), ELL VMEM budget override, and the ELL custom VJP."""
+    from ..bench.harness import build_ell_operand
+    from ..ops.ell import spmm_ell, spmm_ell_reference
+    from ..ops.prune import prune_nm
+    from ..ops.sparse24 import (_unfold_planes, compress_24,
+                                prune_compress_24, spmm_24,
+                                spmm_24_reference)
+
+    key = jax.random.PRNGKey(9)
+    # spmm24 k_chunks on single- and multi-k-step grids.
+    for k, bk4 in ((1024, None), (2048, 256)):
+        a = jax.random.normal(key, (2, 256, k), jnp.bfloat16)
+        b3 = jax.random.normal(key, (k, 128), jnp.bfloat16)
+        s24 = jax.jit(lambda x: compress_24(prune_nm(x, 2, 4)[0]))(a)
+        want = spmm_24_reference(s24, b3, out_dtype=jnp.float32)
+        for kc in (2, 4):
+            for tout in (False, True):
+                got = np.asarray(spmm_24(
+                    s24, b3, out_dtype=jnp.float32, pipeline=True,
+                    block_k4=bk4, k_chunks=kc, transpose_out=tout))
+                got = (got.T if tout else got).reshape(want.shape)
+                _close(f"[24 r5] k={k} k_chunks={kc} tout={int(tout)}",
+                       got, want, tol)
+    # Folded planes: selection bit-identity + end-to-end matmul.
+    for m, k in ((512, 64), (256, 147)):
+        a = jax.random.normal(key, (2, m, k), jnp.bfloat16)
+        s1 = jax.jit(prune_compress_24)(a)
+        s2 = jax.jit(lambda x: prune_compress_24(x, fold=2))(a)
+        k4 = s1.values0.shape[0]
+        rows = s1.values0.shape[1]
+        _equal(f"[fold r5] selection m={m} k={k}",
+               _unfold_planes(s2.values0, 2, k4, rows), s1.values0)
+        bm = jax.random.normal(key, (k, 96), jnp.bfloat16)
+        want = spmm_24_reference(s2, bm, out_dtype=jnp.float32)
+        got = spmm_24(s2, bm, out_dtype=jnp.float32)
+        _close(f"[fold r5] spmm m={m} k={k}", np.asarray(got),
+               np.asarray(want), tol)
+    # Odd ELL block edges (minimal-padding candidates) + budget knob.
+    for k, bkb in ((576, 96), (147, 16)):
+        a = jax.random.normal(key, (2, 256, k), jnp.bfloat16)
+        e, kp = build_ell_operand(a, block_size=128, block_k=bkb,
+                                  fold_first=True)
+        bm = jax.random.normal(key, (kp, 64), jnp.bfloat16)
+        want = spmm_ell_reference(e, bm, out_dtype=jnp.float32)
+        got = spmm_ell(e, bm, out_dtype=jnp.float32)
+        _close(f"[ell r5] bkb={bkb} k={k}",
+               np.asarray(got).reshape(want.shape), want, tol)
+        got2 = spmm_ell(e, bm, out_dtype=jnp.float32, vmem_budget_mb=32)
+        _close(f"[ell r5] bkb={bkb} budget=32",
+               np.asarray(got2).reshape(want.shape), want, tol)
+    # ELL custom VJP on-device (grad through the Pallas kernel).
+    from ..containers import BlockedEll
+
+    a = jax.random.normal(key, (512, 512), jnp.bfloat16)
+    e, kp = build_ell_operand(a[None], block_size=128, block_k=128,
+                              fold_first=False)
+    bm = jax.random.normal(key, (kp, 128), jnp.bfloat16)
+
+    def loss(values):
+        e2 = BlockedEll(values=values, col_indices=e.col_indices,
+                        shape=e.shape, block_size=e.block_size,
+                        block_k=e.block_k)
+        return jnp.sum(spmm_ell(e2, bm, out_dtype=jnp.float32) ** 2)
+
+    g = jax.grad(loss)(e.values)
+    _report("[ell r5] VJP grad finite",
+            bool(np.isfinite(np.asarray(g, np.float32)).all()))
+
+
 def check_coo(m, k, n, batch, sparsity=0.7, tol=2e-2):
     from ..ops.coo import (coo_from_dense, pack_coo, spmm_coo,
                            spmm_coo_segmented)
@@ -382,6 +454,7 @@ def main() -> int:
     guard(check_ell, 2, 196, 147, 64)
     guard(check_ell, 4, 784, 1024, 256)
     guard(check_r4_variants)
+    guard(check_r5_variants)
     guard(check_coo, 784, 512, 64, 4)
     print(f"\n{'PASS' if not FAILURES else 'FAIL'}: "
           f"{len(FAILURES)} failures in {time.time() - t0:.0f}s",
