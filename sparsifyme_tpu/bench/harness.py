@@ -428,13 +428,15 @@ def bench_shape(
         db_t = bool(te.get("gather_db", False))
         cap_t = te.get("block_rows_cap")
         bud_t = te.get("budget_mb")
+        spl_t = int(te.get("split_n", 1) or 1)
         for form, tr, acc_ in forms:
             if form == "gather":
                 cands.append((
                     lambda ee, y, _tr=tr, _a=acc_: spmm_ell(
                         ee, y, out_dtype=dtype, transpose_out=_tr,
                         block_n=bn_t, accum_dots=_a, gather_db=db_t,
-                        block_rows_cap=cap_t, vmem_budget_mb=bud_t),
+                        block_rows_cap=cap_t, vmem_budget_mb=bud_t,
+                        split_n=spl_t),
                     (e, bp), 1,
                 ))
             else:

@@ -435,6 +435,31 @@ def tune_shape(m: int, n: int, k: int, b: int, ops, *, iters: int,
                 if ms < best_ms:
                     best = dict(best, budget_mb=bud)
                     best_ms = ms
+            # Round 5: split_n sub-dots under a FULL-width n-tile —
+            # the bn=256 winners on n>=512 shapes pay a second A
+            # stream per extra n-tile; sub-dots reproduce the winning
+            # dot geometry with A streamed once.
+            full_bn = _round_up(n, 128)
+            if n >= 256:
+                for spl in (2, 4):
+                    if full_bn % spl or (full_bn // spl) % 128:
+                        continue
+                    ms = _time(
+                        lambda ee, y, _s=spl: spmm_ell(
+                            ee, y, out_dtype=dtype,
+                            transpose_out=best["transpose_out"],
+                            block_n=full_bn,
+                            accum_dots=best.get("accum_dots", False),
+                            block_rows_cap=best.get("block_rows_cap"),
+                            vmem_budget_mb=best.get("budget_mb"),
+                            split_n=_s),
+                        (e, bp), 1, iters, reps,
+                        floor_ms=ell_sol_ms(m, n, k, b))
+                    print(f"    ell winner+split_n={spl} bn={full_bn}: "
+                          f"{ms:.3f} ms", flush=True)
+                    if ms < best_ms:
+                        best = dict(best, split_n=spl, block_n=full_bn)
+                        best_ms = ms
         if best is not None:
             best["ms"] = round(best_ms, 5)
             entry["ell"] = best

@@ -112,7 +112,7 @@ import functools
 _EllCfg = collections.namedtuple(
     "_EllCfg",
     "block_size block_k out_dtype block_n interpret transpose_out "
-    "accum_dots gather_db block_rows_cap vmem_budget_mb",
+    "accum_dots gather_db block_rows_cap vmem_budget_mb split_n",
 )
 
 
@@ -139,6 +139,7 @@ def _spmm_ell_core(cfg: "_EllCfg", values, cols, b):
         gather_db=cfg.gather_db,
         block_rows_cap=cfg.block_rows_cap,
         vmem_budget_mb=cfg.vmem_budget_mb,
+        split_n=cfg.split_n,
     )
 
 
@@ -265,6 +266,7 @@ def spmm_ell(
     gather_db: bool = False,
     block_rows_cap: "Optional[int]" = None,
     vmem_budget_mb: "Optional[int]" = None,
+    split_n: int = 1,
 ) -> jax.Array:
     """Batched Blocked-ELL SpMM: ``ell_to_dense(e) @ b`` with zero blocks
     skipped on the MXU. ``transpose_out`` returns C^T ``[n, M]`` (batch
@@ -320,6 +322,7 @@ def spmm_ell(
         gather_db=gather_db,
         block_rows_cap=block_rows_cap,
         vmem_budget_mb=vmem_budget_mb,
+        split_n=split_n,
     )
     out = _spmm_ell_core(cfg, values, cols, b)
     if transpose_out:

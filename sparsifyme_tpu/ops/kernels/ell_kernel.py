@@ -65,8 +65,24 @@ def _pick_mblk(mb: int, cap: int) -> int:
 
 def _kernel(col_ref, val_ref, b_ref, out_ref, *, mblk: int, n_ell: int,
             bs: int, bkb: int, mb: int, tout: bool, accum: bool,
-            static_gather: bool = False):
+            static_gather: bool = False, split_n: int = 1):
     ib = pl.program_id(1)
+    bn_k = b_ref.shape[1]
+    bnc = bn_k // split_n  # per-sub-dot n width
+
+    def store(res, r, h):
+        # Write sub-dot h's [.., bnc] product into its out slice.
+        if tout:
+            rows = out_ref.shape[0]
+            lo = h * bnc
+            hi = min((h + 1) * bnc, rows)
+            if lo >= rows:
+                return
+            out_ref[lo:hi, r * bs:(r + 1) * bs] = res[
+                :hi - lo].astype(out_ref.dtype)
+        else:
+            out_ref[r * bs:(r + 1) * bs, h * bnc:(h + 1) * bnc] = (
+                res.astype(out_ref.dtype))
 
     for r in range(mblk):  # static unroll over the tile's block-rows
         row = (ib * mblk + r) * n_ell
@@ -89,43 +105,44 @@ def _kernel(col_ref, val_ref, b_ref, out_ref, *, mblk: int, n_ell: int,
             # busy and skipping the materialized copy (2*ellk*bn bytes
             # of VMEM writes+reads per block-row) is a pure win; at
             # bkb = 32 prefer the concat formulation below, whose one
-            # deep dot compensates the copy.
-            acc = None
-            for e in range(n_ell):
-                a_e = a_blk[:, e * bkb:(e + 1) * bkb]
-                if tout:
-                    d = jax.lax.dot_general(
-                        slabs[e], a_e, (((0,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                else:
-                    d = jnp.dot(a_e, slabs[e],
-                                preferred_element_type=jnp.float32)
-                acc = d if acc is None else acc + d
-            if tout:
-                out_ref[:, r * bs:(r + 1) * bs] = acc[
-                    :out_ref.shape[0]].astype(out_ref.dtype)
-            else:
-                out_ref[r * bs:(r + 1) * bs, :] = acc.astype(
-                    out_ref.dtype)
+            # deep dot compensates the copy. ``split_n > 1`` further
+            # splits each dot along n (round 5): the bn=256 tuner wins
+            # on n=512 shapes came with A streamed once per n-tile —
+            # sub-dots reproduce that dot geometry under a single
+            # full-width n-tile, so A streams once.
+            for h in range(split_n):
+                cs = slice(h * bnc, (h + 1) * bnc)
+                acc = None
+                for e in range(n_ell):
+                    a_e = a_blk[:, e * bkb:(e + 1) * bkb]
+                    if tout:
+                        d = jax.lax.dot_general(
+                            slabs[e][:, cs], a_e,
+                            (((0,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    else:
+                        d = jnp.dot(a_e, slabs[e][:, cs],
+                                    preferred_element_type=jnp.float32)
+                    acc = d if acc is None else acc + d
+                store(acc, r, h)
             continue
         # Concatenate into one [ellk, bn] operand: a single deep MXU
         # dot per block-row instead of n_ell shallow ones.
         bg = jax.lax.concatenate(slabs, 0) if n_ell > 1 else slabs[0]
-        if tout:
-            # C^T orientation: [bn, bs], n in sublanes (no 128-lane
-            # padding for small n). The dot's row count follows B's
-            # 128-lane tile; slice to the out tile's (8-quantum) rows.
-            res = jax.lax.dot_general(
-                bg, a_blk, (((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            out_ref[:, r * bs:(r + 1) * bs] = res[
-                :out_ref.shape[0]].astype(out_ref.dtype)
-        else:
-            out_ref[r * bs:(r + 1) * bs, :] = jnp.dot(
-                a_blk, bg, preferred_element_type=jnp.float32
-            ).astype(out_ref.dtype)
+        for h in range(split_n):
+            cs = slice(h * bnc, (h + 1) * bnc)
+            if tout:
+                # C^T orientation: [bnc, bs], n in sublanes (no
+                # 128-lane padding for small n).
+                res = jax.lax.dot_general(
+                    bg[:, cs], a_blk, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                store(res, r, h)
+            else:
+                store(jnp.dot(a_blk, bg[:, cs],
+                              preferred_element_type=jnp.float32), r, h)
 
 
 def _kernel_db(col_ref, val_ref, b_ref, out_ref, bg_ref, sem_ref, *,
@@ -184,7 +201,7 @@ def _kernel_db(col_ref, val_ref, b_ref, out_ref, bg_ref, sem_ref, *,
     static_argnames=("block_size", "block_k", "out_dtype", "block_n",
                      "interpret", "transpose_out", "accum_dots",
                      "gather_db", "static_gather", "block_rows_cap",
-                     "vmem_budget_mb"),
+                     "vmem_budget_mb", "split_n"),
 )
 def ell_spmm_pallas(
     values: jax.Array,       # [M, ell_blocks * bkb] (batch folded in rows)
@@ -202,6 +219,7 @@ def ell_spmm_pallas(
     static_gather: bool = False,
     block_rows_cap: Optional[int] = None,
     vmem_budget_mb: Optional[int] = None,
+    split_n: int = 1,
 ) -> jax.Array:
     """C[M, n] = BlockedEll(values, col_indices) @ b (batch-folded);
     ``transpose_out`` emits C^T [n, M] (column-major convention, no
@@ -216,6 +234,9 @@ def ell_spmm_pallas(
         raise ValueError(
             "gather_db and accum_dots are mutually exclusive "
             "formulations; pick one")
+    if gather_db and split_n > 1:
+        raise ValueError("split_n applies to the gather/accum "
+                         "formulations, not gather_db")
     if interpret is None:
         interpret = default_interpret()
     bs = block_size
@@ -357,10 +378,17 @@ def ell_spmm_pallas(
             interpret = pltpu.InterpretParams(
                 dma_execution_mode="on_wait")
     else:
+        if split_n > 1:
+            bnc_chk = bn // split_n if bn % split_n == 0 else 0
+            quantum = 8 if transpose_out else 128
+            if not bnc_chk or bnc_chk % quantum:
+                raise ValueError(
+                    f"split_n {split_n} must divide the n-tile {bn} "
+                    f"into {quantum}-multiples")
         body = functools.partial(
             _kernel, mblk=mblk, n_ell=n_ell, bs=bs, bkb=bkb, mb=mb,
             tout=transpose_out, accum=accum_dots,
-            static_gather=static_gather,
+            static_gather=static_gather, split_n=split_n,
         )
 
     flops = 2 * m * ellk * n

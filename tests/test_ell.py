@@ -446,3 +446,31 @@ def test_spmm_ell_expand_grad_matches_oracle(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gb_k), np.asarray(gb_o),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("tr", [False, True])
+@pytest.mark.parametrize("acc", [False, True])
+def test_spmm_ell_split_n(rng, tr, acc):
+    """split_n sub-dots (round 5: bn=256-geometry dots under a single
+    full-width n-tile) match the whole-dot path."""
+    m, k, n, bs, ell = 32, 256, 256, 8, 2
+    w = _rand(rng, (m, k))
+    e = ell_from_dense(w, block_size=bs, ell_blocks=ell, block_k=128)
+    b = _rand(rng, (k, n))
+    want = spmm_ell_reference(e, b, out_dtype=jnp.float32)
+    got = spmm_ell(e, b, out_dtype=jnp.float32, transpose_out=tr,
+                   accum_dots=acc, split_n=2)
+    if tr:
+        got = got.T
+    np.testing.assert_allclose(np.asarray(got).reshape(want.shape),
+                               np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_ell_split_n_db_rejected(rng):
+    import pytest as _pytest
+
+    w = _rand(rng, (16, 64))
+    e = ell_from_dense(w, block_size=8, ell_blocks=2)
+    b = _rand(rng, (64, 8))
+    with _pytest.raises(ValueError, match="split_n"):
+        spmm_ell(e, b, gather_db=True, split_n=2)
