@@ -344,6 +344,13 @@ def bench_shape(
             )]
         else:
             if e24:
+                # Tuned winner PLUS the default pipelined C^T config:
+                # the dense baseline already races its two
+                # formulations every run (fold=True/False), so the
+                # sparse side gets the same best-of-2 treatment — a
+                # same-day guard against a committed winner that was a
+                # noise pick (round-5: two table entries regressed 5%
+                # between tune passes on identical configs).
                 variants = [dict(
                     block_m=e24.get("block_m"), block_n=e24.get("block_n"),
                     block_k4=e24.get("block_k4"),
@@ -353,6 +360,9 @@ def bench_shape(
                     k_chunks=e24.get("k_chunks", 1),
                     budget_mb=e24.get("budget_mb"),
                 )]
+                default = dict(transpose_out=True, pipeline=True)
+                if variants[0] != default:
+                    variants.append(default)
             else:
                 # Untuned-shape fallback: the pipelined formulation in
                 # both output layouts — the same trimmed grid the tuner
@@ -414,6 +424,11 @@ def bench_shape(
         if te:
             forms = [(te.get("formulation", "gather"),
                       te.get("transpose_out", False), acc)]
+            # Best-of-2 (see the spmm24 note): add the plain gather
+            # heuristic in the other output layout as the same-day
+            # alternative, unless that IS the tuned winner.
+            alt = ("gather", not te.get("transpose_out", False), False)
+            forms.append(alt)
         else:
             forms = [("gather", tr, False) for tr in (False, True)]
             if k < 512:
@@ -429,14 +444,18 @@ def bench_shape(
         cap_t = te.get("block_rows_cap")
         bud_t = te.get("budget_mb")
         spl_t = int(te.get("split_n", 1) or 1)
-        for form, tr, acc_ in forms:
+        for fi, (form, tr, acc_) in enumerate(forms):
+            tuned_cfg = not te or fi == 0  # knobs only for the winner
             if form == "gather":
                 cands.append((
-                    lambda ee, y, _tr=tr, _a=acc_: spmm_ell(
+                    lambda ee, y, _tr=tr, _a=acc_, _t=tuned_cfg: spmm_ell(
                         ee, y, out_dtype=dtype, transpose_out=_tr,
-                        block_n=bn_t, accum_dots=_a, gather_db=db_t,
-                        block_rows_cap=cap_t, vmem_budget_mb=bud_t,
-                        split_n=spl_t),
+                        block_n=bn_t if _t else None,
+                        accum_dots=_a,
+                        gather_db=db_t if _t else False,
+                        block_rows_cap=cap_t if _t else None,
+                        vmem_budget_mb=bud_t if _t else None,
+                        split_n=spl_t if _t else 1),
                     (e, bp), 1,
                 ))
             else:
