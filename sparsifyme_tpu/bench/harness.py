@@ -171,10 +171,23 @@ def bench_shape(
         m, n, k, b,
         packed_codes=bool(tuned.get("spmm24", {}).get("packed")))
 
-    def _guarded(fn, operands, carrier, floor_ms, *, iters_, reps_):
+    class _Infeasible:
+        """Sentinel Timing for a candidate that cannot compile/run
+        (e.g. a VMEM-infeasible tiling) — raced like cusparseLt skips
+        unsupported alg configs; never wins, never crashes the sweep."""
+
+        ms = float("inf")
+
+    def _guarded(fn, operands, carrier, floor_ms, *, iters_, reps_,
+                 infeasible_ok=False):
         """time_kernel with one sub-floor re-measure."""
-        t = time_kernel(fn, operands, carrier=carrier, iters=iters_,
-                        reps=reps_)
+        try:
+            t = time_kernel(fn, operands, carrier=carrier, iters=iters_,
+                            reps=reps_)
+        except Exception:
+            if infeasible_ok:
+                return _Infeasible()
+            raise
         if floor_ms and 0 < t.ms < 0.85 * floor_ms:
             t = time_kernel(fn, operands, carrier=carrier, iters=iters_,
                             reps=max(reps_, 3))
@@ -380,11 +393,12 @@ def bench_shape(
         if len(cands24) > 1:
             raced = [
                 (_guarded(fn, ops_, car, sol24, iters_=iters,
-                          reps_=reps).ms, i)
+                          reps_=reps, infeasible_ok=True).ms, i)
                 for i, (fn, ops_, car) in enumerate(cands24)
             ]
-            win = min((x for x in raced if x[0] > 0),
-                      default=raced[0])[1]
+            win = min((x for x in raced
+                       if x[0] > 0 and x[0] != float("inf")),
+                      default=(raced[0][0], 0))[1]
         else:
             win = 0
         fn24, ops24, car24 = cands24[win]
@@ -478,11 +492,12 @@ def bench_shape(
         if len(cands) > 1:
             raced = [
                 (_guarded(fn, ops_, car, sol_ell, iters_=iters,
-                          reps_=reps).ms, i)
+                          reps_=reps, infeasible_ok=True).ms, i)
                 for i, (fn, ops_, car) in enumerate(cands)
             ]
-            win = min((x for x in raced if x[0] > 0),
-                      default=raced[0])[1]
+            win = min((x for x in raced
+                       if x[0] > 0 and x[0] != float("inf")),
+                      default=(raced[0][0], 0))[1]
         else:
             win = 0
         fne, opse, care = cands[win]
